@@ -1,0 +1,161 @@
+"""Ray-scene intersection: brute-force oracle and stackless BVH traversal.
+
+Semantics match the reference hot kernel `findBVHCollision-comp.glsl`:
+slab ray-AABB test (:21-31) and Moller-Trumbore ray-triangle (:34-91),
+keeping the nearest forward hit per ray.  The traversal itself is redesigned
+for TPU: instead of a 200-entry per-thread stack we walk a DFS-threaded tree
+(see `geom/bvh.py`) in lockstep over a ray batch inside ``lax.while_loop`` —
+one int32 of state per ray, no divergent stack memory.
+
+Differentiability: traversal picks the face index (discrete, non-diff); the
+analytic hit (t, point, barycentrics) is then *recomputed* from the chosen
+face with plain differentiable arithmetic, so gradients flow to vertices and
+ray origin/direction through the fixed hit topology (the standard
+differentiable-ray-tracing decomposition; the argmin face choice itself is
+treated as locally constant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import BVH, Hit, TriangleScene
+
+EPSILON = 1e-8
+BIG = jnp.float32(3.4e38)
+
+
+def _gather_tri(scene: TriangleScene, face_idx):
+    """Gather the three vertex positions of faces (clamps invalid ids to 0)."""
+    safe = jnp.maximum(face_idx, 0)
+    idx = scene.faces[safe]                     # (..., 3)
+    v0 = scene.vertices[idx[..., 0]]
+    v1 = scene.vertices[idx[..., 1]]
+    v2 = scene.vertices[idx[..., 2]]
+    return v0, v1, v2
+
+
+def moller_trumbore(origin, direction, v0, v1, v2):
+    """Vectorized Moller-Trumbore; returns (t, u, v, hit_mask).
+
+    Mirrors `findBVHCollision-comp.glsl:34-91`: a parallel ray (|det| <
+    EPSILON) misses; u in [0,1], v >= 0, u+v <= 1; forward hits t >= -EPSILON.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.where(jnp.abs(a) < EPSILON, 0.0, 1.0 / jnp.where(a == 0, 1.0, a))
+    s = origin - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    ok = ((jnp.abs(a) >= EPSILON)
+          & (u >= 0.0) & (u <= 1.0)
+          & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= -EPSILON))
+    return t, u, v, ok
+
+
+def slab_test(origin, inv_dir, box_min, box_max, t_best):
+    """Slab ray-AABB test (`findBVHCollision-comp.glsl:21-31`), tightened
+    with forward-range and current-best pruning (the reference computes but
+    never uses ``currentMinDistance``; pruning only removes work, never
+    hits)."""
+    t0 = (box_min - origin) * inv_dir
+    t1 = (box_max - origin) * inv_dir
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_best)
+
+
+def intersect_brute(scene: TriangleScene, origin, direction) -> Hit:
+    """O(rays x faces) oracle for tests; returns nearest forward hit."""
+    v0, v1, v2 = _gather_tri(scene, jnp.arange(scene.num_faces))
+
+    def one_ray(o, d):
+        t, _, _, ok = moller_trumbore(o[None, :], d[None, :], v0, v1, v2)
+        dist = jnp.where(ok, t, BIG)
+        best = jnp.argmin(dist)
+        has = dist[best] < BIG
+        return Hit(t=jnp.where(has, dist[best], BIG),
+                   face=jnp.where(has, best.astype(jnp.int32), -1))
+
+    flat_o = origin.reshape(-1, 3)
+    flat_d = direction.reshape(-1, 3)
+    hit = jax.vmap(one_ray)(flat_o, flat_d)
+    shape = origin.shape[:-1]
+    return Hit(t=hit.t.reshape(shape), face=hit.face.reshape(shape))
+
+
+@partial(jax.jit, static_argnames=())
+def intersect_bvh(scene: TriangleScene, bvh: BVH, origin, direction) -> Hit:
+    """Stackless lockstep BVH traversal over a flat batch of rays.
+
+    All rays advance one tree node per iteration of a ``lax.while_loop``;
+    finished rays idle at the sentinel until the whole batch converges.  Ray
+    batches generated in scan order are spatially coherent (and leaves are
+    Morton-ordered), so divergence stays modest.
+    """
+    shape = origin.shape[:-1]
+    o = jax.lax.stop_gradient(origin.reshape(-1, 3))
+    d = jax.lax.stop_gradient(direction.reshape(-1, 3))
+    # Safe reciprocal: preserve sign, avoid inf*0 NaNs in the slab test.
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    inv_d = 1.0 / d_safe
+    n_rays = o.shape[0]
+    n_nodes = bvh.num_nodes
+    sentinel = jnp.int32(n_nodes)
+
+    def gather_tri(face_idx):
+        return _gather_tri(scene, face_idx)
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < sentinel)
+
+    def body(state):
+        node, t_best, face_best = state
+        safe = jnp.minimum(node, sentinel - 1)
+        bmin = bvh.node_min[safe]
+        bmax = bvh.node_max[safe]
+        hit_box = slab_test(o, inv_d, bmin, bmax, t_best) & (node < sentinel)
+        leaf_face = bvh.node_face[safe]
+        is_leaf = leaf_face >= 0
+        do_tri = hit_box & is_leaf
+        v0, v1, v2 = gather_tri(leaf_face)
+        t, _, _, ok = moller_trumbore(o, d, v0, v1, v2)
+        closer = do_tri & ok & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        face_best = jnp.where(closer, leaf_face, face_best)
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node + 1, bvh.node_skip[safe])
+        nxt = jnp.where(node >= sentinel, sentinel, nxt)
+        return nxt, t_best, face_best
+
+    node0 = jnp.zeros(n_rays, jnp.int32)
+    t0 = jnp.full(n_rays, BIG, jnp.float32)
+    f0 = jnp.full(n_rays, -1, jnp.int32)
+    _, t_best, face_best = jax.lax.while_loop(cond, body, (node0, t0, f0))
+    return Hit(t=t_best.reshape(shape), face=face_best.reshape(shape))
+
+
+def refine_hit(scene: TriangleScene, origin, direction, face_idx):
+    """Differentiable re-evaluation of the hit for a fixed face choice.
+
+    Returns (t, point, barycentrics(u, v), face_normal, valid).  Gradients
+    flow to ``scene.vertices``, ``origin`` and ``direction``; the face index
+    is data.  (Reference analogue: the collision record written by
+    `findBVHCollision-comp.glsl:74-90`.)
+    """
+    v0, v1, v2 = _gather_tri(scene, face_idx)
+    t, u, v, ok = moller_trumbore(origin, direction, v0, v1, v2)
+    valid = (face_idx >= 0) & ok
+    t = jnp.where(valid, t, BIG)
+    point = origin + direction * t[..., None]
+    normal = scene.face_normals[jnp.maximum(face_idx, 0)]
+    return t, point, (u, v), normal, valid
