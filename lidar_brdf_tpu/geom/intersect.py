@@ -141,6 +141,10 @@ def intersect_bvh(scene: TriangleScene, bvh: BVH, origin, direction) -> Hit:
     t0 = jnp.full(n_rays, BIG, jnp.float32)
     f0 = jnp.full(n_rays, -1, jnp.int32)
     _, t_best, face_best = jax.lax.while_loop(cond, body, (node0, t0, f0))
+    # Traversal is opaque to AD (lax.while_loop is not reverse-differentiable
+    # and the hit is discrete anyway); differentiable quantities are
+    # recomputed from the face choice via `refine_hit`.
+    t_best = jax.lax.stop_gradient(t_best)
     return Hit(t=t_best.reshape(shape), face=face_best.reshape(shape))
 
 

@@ -1,0 +1,369 @@
+"""Pulse reduction and multi-return extraction.
+
+This is the TPU-first re-design of the reference's per-return GPU loop
+(`LiDARSimulation::solveRayIntersection` cpp:455-618 driving
+`findBVHCollision` -> `reduceCollisions` -> `addOutlier` kernels, with a CPU
+counter readback per iteration).  Here the whole thing is one jitted
+`lax.scan` over return levels with dense (pulses,) slots and validity masks —
+no atomics, no host round-trips.
+
+Semantics reproduced from `reduceCollisions-comp.glsl`:
+  * per-pulse nearest-hit winner among raysPulse beam samples   (:186-199)
+  * footprint merge radius 2*d*pulseRadius*(2-|cos|), same-face and
+    contiguous-triangle merging                                  (:201-223)
+  * scan angle, corrected distance, gps time += 2d/c             (:225-233)
+  * validation: noisy max-range cut, per-return loss probability from
+    shininess, water single-bounce rule                          (:132-151)
+  * shiny-surface and terrain-induced displacement errors        (:98-130)
+  * next-bounce state: refraction through water, returnNumber++  (:152-170)
+plus `addOutlier-comp.glsl` atmospheric outliers and
+`updateReturns-comp.glsl` return-count stamping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SensorConfig
+from ..core.types import (BVH, MaterialTable, RayBundle, SURFACE_TERRAIN,
+                          SURFACE_WATER, TriangleScene)
+from ..geom.intersect import BIG, intersect_bvh, refine_hit
+from ..utils import noise as noise_mod
+from .types import ReturnRecord, OutlierRecord
+
+_pytree = jax.tree_util.register_dataclass
+
+LIGHT_SPEED = 299792458.0
+PI = jnp.float32(3.1415926535)
+
+# Error-model weights (`reduceCollisions-comp.glsl:11-19`)
+HORIZONTAL_TERRAIN_ERROR_W = 1.0 / 1000.0
+VERTICAL_TERRAIN_ERROR_HEIGHT_W = 1e-4
+VERTICAL_TERRAIN_ERROR_ANGLE_W = 0.5
+SHINY_DISTANCE_WEIGHT = 1.0 / 200.0
+SHINY_MODEL_WEIGHT = 1.0 / 80.0
+SHINY_INDIVIDUAL_ERROR = 1.0 / 100.0
+
+
+@_pytree
+@dataclass
+class SimScalars:
+    """Dynamic (differentiable / sweepable) scalar parameters."""
+
+    peak_power: jax.Array
+    pulse_radius: jax.Array
+    max_range: jax.Array
+    max_range_boundary: jax.Array      # (2,)
+    loss_mult: jax.Array
+    loss_add: jax.Array
+    loss_power: jax.Array
+    loss_threshold: jax.Array
+    reflectance_weight: jax.Array
+    sensor_diameter: jax.Array
+    system_attenuation: jax.Array
+    atmospheric_attenuation: jax.Array
+    water_height: jax.Array
+    outlier_threshold: jax.Array
+    outlier_range: jax.Array           # (2,)
+
+    @staticmethod
+    def from_config(cfg: SensorConfig, scene_min_y: float = 0.0) -> "SimScalars":
+        f = lambda v: jnp.asarray(v, jnp.float32)
+        return SimScalars(
+            peak_power=f(cfg.peak_power),
+            pulse_radius=f(cfg.pulse_radius),
+            max_range=f(cfg.max_range),
+            max_range_boundary=f(cfg.max_range_soft_boundary),
+            loss_mult=f(cfg.loss_mult_coefficient),
+            loss_add=f(cfg.loss_add_coefficient),
+            loss_power=f(cfg.loss_power),
+            loss_threshold=f(cfg.loss_threshold),
+            reflectance_weight=f(cfg.reflectance_weight),
+            sensor_diameter=f(cfg.sensor_diameter),
+            system_attenuation=f(cfg.system_attenuation),
+            atmospheric_attenuation=f(cfg.atmospheric_attenuation(scene_min_y)),
+            water_height=f(cfg.water_height),
+            outlier_threshold=f(cfg.outlier_threshold),
+            outlier_range=f(cfg.outlier_range),
+        )
+
+
+def _norm(v, axis=-1):
+    return jnp.linalg.norm(v, axis=axis)
+
+
+def _unit(v):
+    return v / jnp.maximum(_norm(v)[..., None], 1e-12)
+
+
+def _refract(I, N, eta):
+    """GLSL refract(I, N, eta) (used by `computeRayDirection`, :64-73)."""
+    cosi = jnp.sum(N * I, axis=-1, keepdims=True)
+    k = 1.0 - eta[..., None] ** 2 * (1.0 - cosi ** 2)
+    refr = eta[..., None] * I - (eta[..., None] * cosi + jnp.sqrt(jnp.maximum(k, 0.0))) * N
+    return jnp.where(k < 0.0, jnp.zeros_like(refr), refr)
+
+
+def _faces_contiguous(scene: TriangleScene, face_a, face_b, comp_a, comp_b):
+    """Same component and sharing >= 1 vertex (`areTriangleContiguous`)."""
+    va = scene.faces[jnp.maximum(face_a, 0)]       # (..., 3)
+    vb = scene.faces[jnp.maximum(face_b, 0)]
+    shared = (va[..., :, None] == vb[..., None, :]).any(axis=(-1, -2))
+    return (comp_a == comp_b) & shared
+
+
+def simulate_returns(
+    scene: TriangleScene,
+    bvh: BVH,
+    materials: MaterialTable,
+    rays: RayBundle,
+    noise_buf: jax.Array,
+    scalars: SimScalars,
+    cfg: SensorConfig,
+    *,
+    base_ray_index: jax.Array | int = 0,
+    traverse_fn=None,
+    scene_has_water: bool = True,
+) -> tuple[ReturnRecord, OutlierRecord, jax.Array, jax.Array]:
+    """Run the per-return extraction loop for one chunk of pulses.
+
+    Returns (records stacked over return levels, outlier records,
+    num_returns per pulse, final ray origins).  All shapes static; invalid
+    slots masked.  ``scene_has_water`` must be passed statically when jitted
+    (a water hit refracts continuing rays even without bathymetric mode —
+    `computeRayDirection`, `reduceCollisions-comp.glsl:64-73` — so the
+    single-traversal fast path needs a water-free scene).
+    """
+    if traverse_fn is None:
+        traverse_fn = lambda o, d: intersect_bvh(scene, bvh, o, d)
+
+    P, R = rays.num_pulses, rays.rays_per_pulse
+    max_returns = cfg.max_returns
+    bathymetric = bool(cfg.bathymetric)
+    retraverse = bathymetric or scene_has_water
+
+    start_point = rays.origin                      # (P, R, 3) fixed sensor origin
+    ray_power = scalars.peak_power / jnp.float32(R)
+    base_ray_index = jnp.asarray(base_ray_index, jnp.uint32)
+    ray_gidx = (base_ray_index
+                + jnp.arange(P * R, dtype=jnp.uint32).reshape(P, R))
+    pulse_gidx = base_ray_index // jnp.uint32(max(R, 1)) \
+        + jnp.arange(P, dtype=jnp.uint32)
+
+    sensor_normal = (jnp.array([1.0, 0.0, 1.0], jnp.float32)
+                     if cfg.is_terrestrial
+                     else jnp.array([1.0, 1.0, 0.0], jnp.float32))
+
+    hits0 = None
+    if not retraverse:
+        hits0 = traverse_fn(rays.origin, rays.direction)
+
+    def step(state, level):
+        origin, direction, prev_dir, active, return_count, prev_water, prev_point = state
+
+        if retraverse:
+            hits = traverse_fn(origin, direction)
+        else:
+            hits = hits0
+        valid_hit = (hits.face >= 0) & active                       # (P, R)
+        dist = jnp.where(valid_hit, hits.t, BIG)
+        w = jnp.argmin(dist, axis=1)                                # (P,)
+        take = lambda a: jnp.take_along_axis(
+            a, w.reshape(P, *([1] * (a.ndim - 1))), axis=1)[:, 0]
+        has_winner = take(valid_hit)
+
+        face_w = take(hits.face)
+        origin_w = take(origin)
+        dir_w = take(direction)
+        start_w = take(start_point)
+        # Differentiable re-evaluation of the winning hit (fixed topology).
+        t_ref, point_w, (u_w, v_w), normal_w, _ = refine_hit(
+            scene, origin_w, dir_w, face_w)
+        comp_w = scene.face_comp[jnp.maximum(face_w, 0)]
+        mat_w = scene.comp_material[comp_w]
+        surface_w = scene.comp_surface[comp_w]
+        is_water = (surface_w & SURFACE_WATER) != 0
+        is_terrain = (surface_w & SURFACE_TERRAIN) != 0
+
+        # Per-ray hit points (non-diff; drive discrete merge decisions only).
+        point_i = origin + direction * jnp.where(valid_hit, hits.t, 0.0)[..., None]
+        comp_i = scene.face_comp[jnp.maximum(hits.face, 0)]
+
+        # -------- footprint merge (`reduceCollisions` :201-223) ----------
+        footprint = _norm(point_w - start_w) * scalars.pulse_radius
+        cos_inc = jnp.abs(jnp.sum(normal_w * (-_unit(dir_w)), axis=-1))
+        allowed = 2.0 * footprint * (2.0 - cos_inc)
+        d_to_winner = _norm(point_i - point_w[:, None, :])
+        same = (valid_hit
+                & ((d_to_winner < allowed[:, None])
+                   | (hits.face == face_w[:, None])
+                   | _faces_contiguous(scene, hits.face, face_w[:, None],
+                                       comp_i, comp_w[:, None])))
+        same = same & has_winner[:, None]
+        num_intersected = jnp.sum(same, axis=1).astype(jnp.int32)
+        continue_ray = valid_hit & ~same                            # (P, R)
+
+        # -------- winner record fields (:225-233) -------------------------
+        corrected = _norm(point_w - start_w)
+        nd = _unit(-dir_w)
+        angle = (jnp.clip(jnp.arccos(jnp.clip(
+            jnp.sum(nd * sensor_normal * nd, axis=-1), -1.0, 1.0)),
+            -PI / 2, PI / 2) / (PI / 2) * 90.0)
+        gps = rays.gps_time + corrected * 2.0 / LIGHT_SPEED
+
+        # -------- validation (`validateCollision` :132-151) ---------------
+        idx_w = take(ray_gidx)
+        dnoise = noise_mod.sample(noise_buf, idx_w,
+                                  noise_mod.DISTANCE_NOISE_OFFSET)
+        b0, b1 = scalars.max_range_boundary[0], scalars.max_range_boundary[1]
+        noisy_max = scalars.max_range + dnoise * (b1 - b0) + b0
+        first_vtx = scene.faces[jnp.maximum(face_w, 0), 0]
+        ks = scene.vertex_ks[first_vtx]
+        ns = scene.vertex_ns[first_vtx]
+        shininess = jnp.clip(jnp.power(jnp.maximum(ks, 0.0), ns)
+                             * materials.roughness[mat_w], 0.0, 1.0)
+        loss_thr = jnp.where(
+            shininess < scalars.loss_threshold, 0.0,
+            scalars.loss_mult * jnp.power(
+                jnp.maximum(shininess + scalars.loss_add, 0.0),
+                scalars.loss_power))
+        lost = (noise_mod.sample(noise_buf, idx_w, noise_mod.LOSS_NOISE_OFFSET)
+                <= loss_thr) & jnp.logical_not(bathymetric)
+        first_return = return_count == 0
+        valid_col = (has_winner
+                     & (corrected < noisy_max)
+                     & (~is_water | first_return)
+                     & ~lost)
+
+        # -------- error displacements (:98-130) ---------------------------
+        point_rec = point_w
+        if cfg.include_shiny_surface_error:
+            factor = 1.0 - shininess
+            comp_rand = noise_mod.sample(
+                noise_buf, comp_w.astype(jnp.uint32),
+                noise_mod.MODEL_COMP_NOISE_OFFSET) * SHINY_MODEL_WEIGHT
+            pt_rand = noise_mod.sample(
+                noise_buf, idx_w, noise_mod.POINT_NOISE_OFFSET) \
+                * SHINY_INDIVIDUAL_ERROR
+            shift = (dir_w * (factor * factor * corrected
+                              * SHINY_DISTANCE_WEIGHT)[:, None]
+                     + dir_w * ((comp_rand + pt_rand) * factor)[:, None])
+            point_rec = point_rec + shift
+        if cfg.include_terrain_induced_error:
+            height = start_w[:, 1] - point_rec[:, 1]
+            vn = noise_mod.sample(noise_buf, idx_w,
+                                  noise_mod.TERRAIN_NOISE_OFFSET_V)
+            hn = noise_mod.sample(noise_buf, idx_w,
+                                  noise_mod.TERRAIN_NOISE_OFFSET_H)
+            v_err = vn * (VERTICAL_TERRAIN_ERROR_HEIGHT_W * height
+                          + VERTICAL_TERRAIN_ERROR_ANGLE_W * angle)
+            h_err = hn * HORIZONTAL_TERRAIN_ERROR_W * height
+            h_axis = jnp.stack([
+                noise_mod.sample(noise_buf, idx_w,
+                                 noise_mod.HORIZONTAL_AXIS_OFFSET_X),
+                jnp.zeros_like(v_err),
+                noise_mod.sample(noise_buf, idx_w,
+                                 noise_mod.HORIZONTAL_AXIS_OFFSET_Z)], -1)
+            shift = (jnp.array([0.0, 1.0, 0.0]) * v_err[:, None]
+                     + h_axis * h_err[:, None])
+            point_rec = jnp.where((is_terrain & valid_col)[:, None],
+                                  point_rec + shift, point_rec)
+
+        uv_rec = (scene.vertex_uv[scene.faces[jnp.maximum(face_w, 0), 0]]
+                  * (1.0 - u_w - v_w)[:, None]
+                  + scene.vertex_uv[scene.faces[jnp.maximum(face_w, 0), 1]]
+                  * u_w[:, None]
+                  + scene.vertex_uv[scene.faces[jnp.maximum(face_w, 0), 2]]
+                  * v_w[:, None])
+
+        record = ReturnRecord(
+            mask=valid_col,
+            point=jnp.where(valid_col[:, None], point_rec, 0.0),
+            normal=normal_w,
+            uv=uv_rec,
+            distance=corrected,
+            angle=angle,
+            gps_time=gps,
+            comp=jnp.where(valid_col, comp_w, -1),
+            face=jnp.where(valid_col, face_w, -1),
+            num_intersected=num_intersected,
+            return_number=return_count,
+            winner_ray=w.astype(jnp.int32),
+            start=start_w,
+            direction=dir_w,
+            prev_was_water=prev_water,
+            prev_point=prev_point,
+        )
+
+        # -------- outliers (`addOutlier-comp.glsl:29-64`) ------------------
+        o_prob = noise_mod.sample(noise_buf, pulse_gidx,
+                                  noise_mod.OUTLIER_NOISE_OFFSET)
+        o_mask = valid_col & ((o_prob * 2.0 - 1.0) > scalars.outlier_threshold) \
+            if cfg.include_outliers else jnp.zeros_like(valid_col)
+        o_dn = noise_mod.sample(noise_buf, pulse_gidx,
+                                noise_mod.OUTLIER_DISTANCE_OFFSET) * 1.5
+        o_r0, o_r1 = scalars.outlier_range[0], scalars.outlier_range[1]
+        o_dist = (o_dn * (o_r1 - o_r0) + o_r0) * corrected
+        prev_dir_w = _unit(take(prev_dir))
+        outlier = OutlierRecord(
+            mask=o_mask,
+            point=start_w + prev_dir_w * o_dist[:, None],
+            distance=o_dist,
+        )
+
+        # -------- state update (`validateCollision` :152-170) --------------
+        exceed = (return_count + 1) >= max_returns
+        revive = valid_hit & is_water[:, None] & bool(bathymetric)
+        new_active_valid = (~exceed[:, None]) & (continue_ray | revive)
+        active_next = jnp.where(valid_col[:, None], new_active_valid,
+                                continue_ray)
+        eta = materials.refractive_index[mat_w]
+        refr = _unit(_refract(direction, normal_w[:, None, :],
+                              jnp.broadcast_to(eta[:, None], (P, R))))
+        water_upd = (valid_col & is_water)[:, None, None]      # (P, 1, 1)
+        origin_next = jnp.where(water_upd, point_i + direction * 1e-4, origin)
+        dir_next = jnp.where(water_upd, refr, direction)
+        prev_dir_next = jnp.where(valid_col[:, None, None],
+                                  direction, prev_dir)
+        count_next = return_count + valid_col.astype(jnp.int32)
+        prev_water_next = jnp.where(valid_col, is_water, prev_water)
+        prev_point_next = jnp.where(valid_col[:, None], point_w, prev_point)
+
+        new_state = (origin_next, dir_next, prev_dir_next, active_next,
+                     count_next, prev_water_next, prev_point_next)
+        return new_state, (record, outlier)
+
+    init = (
+        rays.origin,
+        rays.direction,
+        rays.direction,                               # previousDirection
+        jnp.ones((P, R), bool),                       # continueRay
+        jnp.zeros(P, jnp.int32),                      # returnNumber
+        jnp.zeros(P, bool),                           # prev collision water?
+        jnp.zeros((P, 3), jnp.float32),               # prev collision point
+    )
+    levels = jnp.arange(max_returns)
+    if max_returns == 1:
+        # unrolled single-return fast path (avoids scan overhead)
+        final_state, (records, outliers) = step(init, levels[0])
+        records = jax.tree.map(lambda a: a[None], records)
+        outliers = jax.tree.map(lambda a: a[None], outliers)
+    else:
+        final_state, (records, outliers) = jax.lax.scan(step, init, levels)
+    num_returns = final_state[4]
+    final_origin = final_state[0]
+    return records, outliers, num_returns, final_origin
+
+
+def final_winner_origins(records: ReturnRecord, final_origin) -> jax.Array:
+    """Gather each recorded return's winner-ray origin from the final ray
+    state — `computeColor` reads `rayData[collision.rayIndex].origin` *after*
+    the bounce loop finished (`computeColor-comp.glsl:77`)."""
+    L, P = records.winner_ray.shape
+    w = records.winner_ray.reshape(L, P, 1, 1)
+    return jnp.take_along_axis(
+        jnp.broadcast_to(final_origin[None], (L,) + final_origin.shape),
+        w, axis=2)[:, :, 0, :]

@@ -1,0 +1,164 @@
+"""Simulation orchestrator: the jitted forward pass + host-side chunking.
+
+Replaces the reference's CPU-driven kernel sequencing
+(`LiDARSimulation::launchSingleSimulation` / `solveRayIntersection`,
+LiDARSimulation.cpp:288-618): one jit-compiled function maps a chunk of
+pulses to a dense PointCloud; a host loop streams chunks (the reference's
+`arePendingRays` memory-bounded batching, RayBuilder.cpp:248-262) and
+concatenates; a wavelength sweep re-binds material tables per wavelength
+(cpp:303).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SensorConfig
+from ..core.types import (BVH, MaterialTable, PointCloud, RayBundle,
+                          SURFACE_WATER, TriangleScene, concat_pointclouds)
+from ..physics.returns import SimScalars, simulate_returns
+from ..physics.shading import shade_records
+from ..physics.types import OutlierRecord, ReturnRecord
+from ..utils import noise as noise_mod
+
+
+def records_to_pointcloud(scene: TriangleScene, records: ReturnRecord,
+                          outliers: OutlierRecord, num_returns: jax.Array,
+                          intensity: jax.Array,
+                          include_outliers: bool) -> PointCloud:
+    """Flatten (levels, pulses) record slots into a dense PointCloud."""
+    L, P = records.mask.shape
+    flat = lambda a: a.reshape((L * P,) + a.shape[2:])
+    nr = jnp.broadcast_to(num_returns[None, :], (L, P))
+    comp = flat(records.comp)
+    safe_comp = jnp.maximum(comp, 0)
+    cloud = PointCloud(
+        position=flat(records.point),
+        normal=flat(records.normal),
+        uv=flat(records.uv),
+        intensity=flat(intensity),
+        distance=flat(records.distance),
+        return_number=flat(records.return_number),
+        num_returns=flat(nr),
+        scan_angle_rank=flat(records.angle),
+        scan_direction=flat(records.direction),
+        gps_time=flat(records.gps_time),
+        comp_id=comp,
+        semantic=jnp.where(comp >= 0, scene.comp_semantic[safe_comp], -1),
+        asprs=jnp.where(comp >= 0, scene.comp_asprs[safe_comp], -1),
+        mask=flat(records.mask),
+    )
+    if not include_outliers:
+        return cloud
+    K = L * P
+    zeros3 = jnp.zeros((K, 3), jnp.float32)
+    out = PointCloud(
+        position=flat(outliers.point),
+        normal=zeros3,
+        uv=jnp.zeros((K, 2), jnp.float32),
+        intensity=jnp.zeros(K, jnp.float32),
+        distance=flat(outliers.distance),
+        return_number=jnp.zeros(K, jnp.int32),
+        num_returns=jnp.ones(K, jnp.int32),
+        scan_angle_rank=jnp.zeros(K, jnp.float32),
+        scan_direction=zeros3,
+        gps_time=jnp.zeros(K, jnp.float32),
+        comp_id=jnp.full(K, -1, jnp.int32),
+        semantic=jnp.full(K, -1, jnp.int32),
+        asprs=jnp.full(K, 7, jnp.int32),          # ASPRS NOISE
+        mask=flat(outliers.mask),
+    )
+    join = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return jax.tree.map(join, cloud, out)
+
+
+def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
+                   rays: RayBundle, noise_buf: jax.Array,
+                   scalars: SimScalars, cfg: SensorConfig, *,
+                   base_ray_index=0, scene_has_water: bool = True,
+                   traverse_fn=None) -> PointCloud:
+    """Full differentiable forward pass for one chunk of pulses."""
+    records, outliers, num_returns, final_origin = simulate_returns(
+        scene, bvh, materials, rays, noise_buf, scalars, cfg,
+        base_ray_index=base_ray_index, traverse_fn=traverse_fn,
+        scene_has_water=scene_has_water)
+    # winner origins after the bounce loop (reference shading reads final
+    # rayData, `computeColor-comp.glsl:88,96`)
+    L, P = records.mask.shape
+    w = records.winner_ray.reshape(L, P, 1, 1)
+    fo = jnp.take_along_axis(
+        jnp.broadcast_to(final_origin[None], (L,) + final_origin.shape),
+        jnp.maximum(w, 0), axis=2)[:, :, 0, :]
+    intensity = shade_records(scene, materials, records, fo, scalars, cfg,
+                              rays.rays_per_pulse)
+    return records_to_pointcloud(scene, records, outliers, num_returns,
+                                 intensity, cfg.include_outliers)
+
+
+@dataclass
+class Simulator:
+    """Bind scene + config; jit once per chunk shape; stream chunks.
+
+    ``simulator(rays)`` accepts any number of pulses; pulses are processed
+    in ``cfg.chunk_pulses`` slices (padded to a static shape) and results
+    concatenated on host.
+    """
+
+    scene: TriangleScene
+    bvh: BVH
+    materials: MaterialTable
+    cfg: SensorConfig
+    traverse_fn: object = None
+
+    def __post_init__(self):
+        self.scene_has_water = bool(
+            (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
+        scene_min_y = float(np.asarray(self.scene.vertices)[:, 1].min())
+        self.scalars = SimScalars.from_config(self.cfg, scene_min_y)
+        key = jax.random.PRNGKey(self.cfg.seed)
+        self.noise_buf = noise_mod.make_sim_noise(key)
+        self._jitted = jax.jit(
+            functools.partial(
+                simulate_chunk, cfg=self.cfg,
+                scene_has_water=self.scene_has_water,
+                traverse_fn=self.traverse_fn),
+            static_argnames=())
+
+    def run_chunk(self, rays: RayBundle, base_ray_index=0) -> PointCloud:
+        return self._jitted(self.scene, self.bvh, self.materials, rays,
+                            self.noise_buf, self.scalars,
+                            base_ray_index=base_ray_index)
+
+    def run(self, rays: RayBundle) -> PointCloud:
+        """Chunked execution over all pulses; host-side concat + compact."""
+        P = rays.num_pulses
+        chunk = min(self.cfg.chunk_pulses, P)
+        clouds = []
+        for lo in range(0, P, chunk):
+            hi = min(lo + chunk, P)
+            sl = jax.tree.map(lambda a: a[lo:hi], rays)
+            if hi - lo < chunk:   # pad the tail chunk to the static shape
+                pad = chunk - (hi - lo)
+                # Padded pulses: origin far outside the scene with zero
+                # direction -> slab test misses immediately, no hits, masked
+                # out naturally.
+                sl = RayBundle(
+                    origin=jnp.concatenate(
+                        [sl.origin,
+                         jnp.full((pad,) + sl.origin.shape[1:], 1e10,
+                                  sl.origin.dtype)]),
+                    direction=jnp.concatenate(
+                        [sl.direction,
+                         jnp.zeros((pad,) + sl.direction.shape[1:],
+                                   sl.direction.dtype)]),
+                    gps_time=jnp.concatenate(
+                        [sl.gps_time, jnp.zeros(pad, sl.gps_time.dtype)]),
+                )
+            cloud = self.run_chunk(sl, lo * rays.rays_per_pulse)
+            clouds.append(jax.tree.map(np.asarray, cloud))
+        return concat_pointclouds(clouds)
