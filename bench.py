@@ -1,0 +1,99 @@
+"""Benchmark: rays/s through the full forward+backward simulation step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.json): >100M rays/s fwd+bwd on a v5e-8, i.e. 12.5M
+rays/s/chip; vs_baseline is measured rays/s/chip over that per-chip target.
+Workload: TLS scan over a procedural terrain+boxes scene, measured-table
+BRDF shading, loss = sum of intensities, gradients w.r.t. BRDF tables —
+the reference's default TLS shape scaled up (SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PER_CHIP_TARGET = 100e6 / 8.0
+
+
+def build_workload(num_pulses, rays_per_pulse, num_tris_target=60_000):
+    import jax
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.core.config import LiDARType, SensorConfig, ShadingMode
+    from lidar_brdf_tpu.io import synthetic
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.physics.returns import SimScalars
+    from lidar_brdf_tpu.utils import noise as noise_mod
+
+    rng = np.random.default_rng(0)
+    # terrain + enough boxes to reach the triangle budget (12 tris/box)
+    num_boxes = max((num_tris_target - 32) // 12, 1)
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=num_boxes, half=60.0)
+    bvh = build_scene_bvh(scene)
+    vres = 64
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 10.0, 0.0),
+        tls_fov_horizontal=360.0, tls_fov_vertical=100.0,
+        tls_middle_angle_vertical=-35.0,
+        tls_resolution_horizontal=num_pulses // vres,
+        tls_resolution_vertical=vres,
+        rays_per_pulse=rays_per_pulse, max_returns=1,
+        chunk_pulses=num_pulses,
+        shading_mode=ShadingMode.MEASURED,
+        include_shiny_surface_error=True)
+    rays = build_rays(cfg, scene)
+    materials = MaterialLibrary.default().table_at(1064)
+    scalars = SimScalars.from_config(cfg, 0.0)
+    noise = noise_mod.make_sim_noise(jax.random.PRNGKey(0))
+    return scene, bvh, cfg, rays, materials, scalars, noise
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lidar_brdf_tpu.runtime.simulate import simulate_chunk
+
+    num_pulses = int(os.environ.get("BENCH_PULSES", 131072))
+    rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
+        num_pulses, rays_per_pulse)
+    total_rays = rays.num_pulses * rays.rays_per_pulse
+
+    def loss_fn(table, scene, bvh, materials, rays, noise, scalars):
+        mats = materials.__class__(**{**materials.__dict__,
+                                      "brdf_table": table})
+        cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
+                               scene_has_water=False)
+        return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+
+    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+
+    args = (materials.brdf_table, scene, bvh, materials, rays, noise, scalars)
+    # warm-up / compile
+    loss, g = fwd_bwd(*args)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, g = fwd_bwd(*args)
+    jax.tree.map(lambda a: a.block_until_ready(), g)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = total_rays / dt
+    print(json.dumps({
+        "metric": "rays_per_s_fwd_bwd_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+from lidar_brdf_tpu.core.config import SensorConfig, LiDARType, ShadingMode
+from lidar_brdf_tpu.io import synthetic
+from lidar_brdf_tpu.io.materials import MaterialLibrary
+from lidar_brdf_tpu.parallel import shard as shard_mod
+from lidar_brdf_tpu.physics.returns import SimScalars
+from lidar_brdf_tpu.runtime.simulate import simulate_chunk
+from lidar_brdf_tpu.utils import noise as noise_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    v, f = synthetic.ground_plane(half=40.0, y=0.0, cells=3)
+    scene = synthetic.scene_from_arrays(v, f)
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 12.0, 0.0),
+        tls_fov_horizontal=360.0, tls_fov_vertical=60.0,
+        tls_middle_angle_vertical=-45.0,
+        tls_resolution_horizontal=32, tls_resolution_vertical=16,
+        rays_per_pulse=2, max_returns=1, chunk_pulses=512,
+        shading_mode=ShadingMode.MEASURED,
+        include_shiny_surface_error=False)
+    rays = build_rays(cfg, scene)
+    materials = MaterialLibrary.default().table_at(1064)
+    scalars = SimScalars.from_config(cfg, 0.0)
+    noise = noise_mod.make_sim_noise(jax.random.PRNGKey(0))
+    return scene, bvh, cfg, rays, materials, scalars, noise
+
+
+def test_sharded_forward_matches_single_device(setup):
+    scene, bvh, cfg, rays, materials, scalars, noise = setup
+    assert jax.device_count() == 8
+    mesh = shard_mod.ray_mesh()
+    fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False)
+    cloud_sharded = fwd(scene, bvh, materials, rays, noise, scalars)
+    cloud_single = simulate_chunk(scene, bvh, materials, rays, noise,
+                                  scalars, cfg, scene_has_water=False)
+    np.testing.assert_allclose(np.asarray(cloud_sharded.intensity),
+                               np.asarray(cloud_single.intensity),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(cloud_sharded.mask),
+                                  np.asarray(cloud_single.mask))
+
+
+def test_sharded_train_step_reduces_loss(setup):
+    scene, bvh, cfg, rays, materials, scalars, noise = setup
+    mesh = shard_mod.ray_mesh()
+    # target = forward with perturbed tables
+    fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False)
+    cloud = fwd(scene, bvh, materials, rays, noise, scalars)
+    target = jnp.where(cloud.mask, cloud.intensity * 1.5, 0.0)
+    step = shard_mod.sharded_train_step(mesh, cfg, scene_has_water=False,
+                                        learning_rate=5e-3)
+    loss0, materials1, grads = step(scene, bvh, materials, rays, noise,
+                                    scalars, target)
+    loss1, _, _ = step(scene, bvh, materials1, rays, noise, scalars, target)
+    assert float(loss0) > 0
+    assert float(loss1) < float(loss0)
+    table_grad = np.asarray(grads[2])
+    assert np.isfinite(table_grad).all()
+    assert np.abs(table_grad).sum() > 0
