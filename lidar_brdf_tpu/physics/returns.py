@@ -138,7 +138,12 @@ def simulate_returns(
     single-traversal fast path needs a water-free scene).
     """
     if traverse_fn is None:
-        traverse_fn = lambda o, d: intersect_bvh(scene, bvh, o, d)
+        # Packet traversal is the TPU-shaped default; the per-ray lockstep
+        # path (`intersect_bvh`) remains available for testing.
+        from ..geom.packet import intersect_packed, pack_bvh, pack_triangles
+        nodes = pack_bvh(bvh)
+        tris = pack_triangles(scene)
+        traverse_fn = lambda o, d: intersect_packed(nodes, tris, o, d)
 
     P, R = rays.num_pulses, rays.rays_per_pulse
     max_returns = cfg.max_returns
