@@ -57,3 +57,53 @@ def simulate(scene: TriangleScene, cfg: SensorConfig,
         rays = build_rays(cfg, scene)
     sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
     return sim.run(rays)
+
+
+def simulate_spectral(scene: TriangleScene, cfg: SensorConfig,
+                      library: MaterialLibrary | None = None,
+                      bvh: BVH | None = None) -> dict[int, PointCloud]:
+    """Wavelength sweep: one simulation per nm in ``cfg.wavelength_nm``
+    (reference per-wavelength loop, `LiDARSimulation.cpp:303`: material
+    tables re-bound per lambda, point cloud archived between)."""
+    library = library or MaterialLibrary.default()
+    bvh = bvh if bvh is not None else build_scene_bvh(scene)
+    rays = build_rays(cfg, scene)
+    out: dict[int, PointCloud] = {}
+    lo, hi = cfg.wavelength_nm
+    for wl in range(int(lo), int(hi) + 1):
+        materials = library.table_at(wl)
+        wl_cfg = cfg.with_(bathymetric=bool(
+            wl < 533 and cfg.lidar_type != LiDARType.TERRESTRIAL_SPHERICAL))
+        sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=wl_cfg)
+        out[wl] = sim.run(rays)
+    return out
+
+
+def simulate_tls_path(scene: TriangleScene, cfg: SensorConfig,
+                      positions: np.ndarray,
+                      materials: MaterialTable | None = None,
+                      bvh: BVH | None = None) -> list[PointCloud]:
+    """TLS multi-position simulation along a path of scan positions.
+
+    Reference `LiDARSimulation::launchMultipleSimulations`
+    (LiDARSimulation.cpp:211-286): per waypoint, scan with position =
+    waypoint and direction toward the next waypoint; one cloud per position
+    (the reference writes `Results/Paths/TLS/<i>.ply` and archives between).
+    """
+    positions = np.asarray(positions, np.float32)
+    if materials is None:
+        materials = MaterialLibrary.default().table_at(cfg.wavelength_nm[0])
+    bvh = bvh if bvh is not None else build_scene_bvh(scene)
+    clouds = []
+    for i, pos in enumerate(positions):
+        if i + 1 < len(positions):
+            direction = positions[i + 1] - pos
+        else:
+            direction = np.zeros(3, np.float32)
+        pos_cfg = cfg.with_(tls_position=tuple(float(x) for x in pos),
+                            tls_direction=tuple(float(x) for x in direction))
+        rays = build_rays(pos_cfg, scene)
+        sim = Simulator(scene=scene, bvh=bvh, materials=materials,
+                        cfg=pos_cfg)
+        clouds.append(sim.run(rays))
+    return clouds

@@ -1,0 +1,116 @@
+"""Command-line interface.
+
+The reference has no CLI (GUI only, SURVEY.md §1); this provides the
+scripted equivalent:
+
+    python -m lidar_brdf_tpu.cli simulate --scene path/to/dir_or_obj \\
+        --sensor hdl64e --out cloud.ply [--config cfg.json] [--wavelength N]
+
+    python -m lidar_brdf_tpu.cli presets
+    python -m lidar_brdf_tpu.cli config-template > cfg.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_scene(path: str):
+    from .io import obj as obj_mod
+    from .io import synthetic
+    if path == ":demo:":
+        return synthetic.terrain_with_boxes(np.random.default_rng(0),
+                                            num_boxes=12)
+    if os.path.isdir(path):
+        return obj_mod.load_scene_dir(path)
+    return obj_mod.load_obj_scene(path)
+
+
+def cmd_simulate(args) -> int:
+    from .api import simulate_spectral
+    from .core.config import SensorConfig, get_preset
+    from .io.materials import MaterialLibrary
+    from .io.ply import write_ply
+
+    if args.config:
+        with open(args.config) as fh:
+            cfg = SensorConfig.from_json(fh.read())
+    elif args.sensor:
+        cfg = get_preset(args.sensor)
+    else:
+        cfg = SensorConfig()
+    if args.wavelength is not None:
+        cfg = cfg.with_(wavelength_nm=(args.wavelength, args.wavelength))
+    if args.max_returns is not None:
+        cfg = cfg.with_(max_returns=args.max_returns)
+    if args.rays_pulse is not None:
+        cfg = cfg.with_(rays_per_pulse=args.rays_pulse)
+
+    scene = _load_scene(args.scene)
+    print(f"scene: {scene.num_faces} faces, {scene.num_components} components",
+          file=sys.stderr)
+    library = MaterialLibrary.default(args.refractive_index_dir)
+    t0 = time.perf_counter()
+    clouds = simulate_spectral(scene, cfg, library)
+    dt = time.perf_counter() - t0
+
+    base, ext = os.path.splitext(args.out)
+    ext = ext or ".ply"
+    total = 0
+    for wl, cloud in clouds.items():
+        path = args.out if len(clouds) == 1 else f"{base}_{wl}{ext}"
+        n = write_ply(path, cloud)
+        total += n
+        print(f"wrote {n} points -> {path}", file=sys.stderr)
+    print(f"simulated {total} points in {dt:.2f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_presets(_args) -> int:
+    from .core.config import SENSOR_PRESETS
+    for name, cfg in SENSOR_PRESETS.items():
+        kind = cfg.lidar_type.name
+        print(f"{name:12s} {kind:22s} channels={cfg.channels:3d} "
+              f"maxRange={cfg.max_range:g}m returns={cfg.max_returns}")
+    return 0
+
+
+def cmd_config_template(_args) -> int:
+    from .core.config import SensorConfig
+    print(SensorConfig().to_json())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lidar_brdf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("simulate", help="run a simulation, write PLY")
+    ps.add_argument("--scene", required=True,
+                    help=".obj file, scene directory, or :demo:")
+    ps.add_argument("--sensor", help="hardware preset name (see `presets`)")
+    ps.add_argument("--config", help="SensorConfig JSON file")
+    ps.add_argument("--out", default="cloud.ply")
+    ps.add_argument("--wavelength", type=int)
+    ps.add_argument("--max-returns", type=int, dest="max_returns")
+    ps.add_argument("--rays-pulse", type=int, dest="rays_pulse")
+    ps.add_argument("--refractive-index-dir", dest="refractive_index_dir")
+    ps.set_defaults(fn=cmd_simulate)
+
+    pp = sub.add_parser("presets", help="list sensor presets")
+    pp.set_defaults(fn=cmd_presets)
+
+    pc = sub.add_parser("config-template", help="print default config JSON")
+    pc.set_defaults(fn=cmd_config_template)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -206,7 +206,8 @@ def cook_torrance(kd, ks, N, I, V, rough, f0, cos_a, tangent):
     g2 = (2.0 * dot_nh * dot_nl) / jnp.where(jnp.abs(dot_hv) < EPS, EPS, dot_hv)
     geom = jnp.minimum(1.0, jnp.minimum(g1, g2))
     # fresnel
-    f = f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - dot_nh, 0.0, 1.0), 5.0)
+    f = f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - dot_nh, 0.0, 1.0),
+                                    5.0)[..., None]
     fres = jnp.max(f, axis=-1)
     denom = PI * jnp.where(jnp.abs(cos_a) < EPS, EPS, cos_a) \
         * jnp.where(jnp.abs(dot_nv) < EPS, EPS, dot_nv)
