@@ -17,6 +17,8 @@ and exactly representable in float64, bounding tree depth by the key width.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.types import BVH
@@ -39,13 +41,26 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return e.astype(np.int64)
 
 
-def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:
+def build_bvh(vertices: np.ndarray, faces: np.ndarray,
+              use_native: bool | None = None) -> BVH:
     """Build a threaded LBVH over the triangle soup.
 
     Returns nodes in DFS pre-order: internal node's left child is at
     ``node + 1``; ``node_skip`` jumps over the subtree.  Leaves carry the
     original face index in ``node_face`` (internal nodes carry -1).
+
+    Uses the native C++ builder (native/lidar_native.cpp) when available;
+    the vectorized numpy path below is the portable reference.  Set
+    ``use_native=False`` (or env LIDAR_BRDF_TPU_NO_NATIVE=1) to force numpy.
     """
+    if use_native is None:
+        use_native = not os.environ.get("LIDAR_BRDF_TPU_NO_NATIVE")
+    if use_native and len(faces) > 1:
+        from ..io.native import build_bvh_native
+        tree = build_bvh_native(np.asarray(vertices, np.float32),
+                                np.asarray(faces, np.int64).astype(np.int32))
+        if tree is not None:
+            return tree
     vertices = np.asarray(vertices, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int64)
     n = faces.shape[0]
