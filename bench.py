@@ -53,6 +53,8 @@ def build_workload(num_pulses, rays_per_pulse, num_tris_target=60_000):
 
 
 def main():
+    import faulthandler
+    faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
     import jax
     import jax.numpy as jnp
     from lidar_brdf_tpu.runtime.simulate import simulate_chunk
@@ -61,8 +63,12 @@ def main():
     rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE", 10))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
+    t_start = time.perf_counter()
     scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
         num_pulses, rays_per_pulse)
+    jax.block_until_ready(rays.origin)
+    print(f"# workload built in {time.perf_counter()-t_start:.1f}s "
+          f"({scene.num_faces} faces)", file=sys.stderr, flush=True)
     total_rays = rays.num_pulses * rays.rays_per_pulse
 
     def loss_fn(table, scene, bvh, materials, rays, noise, scalars):
@@ -76,8 +82,11 @@ def main():
 
     args = (materials.brdf_table, scene, bvh, materials, rays, noise, scalars)
     # warm-up / compile
+    t0 = time.perf_counter()
     loss, g = fwd_bwd(*args)
     loss.block_until_ready()
+    print(f"# compile+first step {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -114,8 +114,14 @@ class Simulator:
     materials: MaterialTable
     cfg: SensorConfig
     traverse_fn: object = None
+    use_pallas: bool | None = None   # None = auto (TPU + scene fits VMEM)
 
     def __post_init__(self):
+        if self.traverse_fn is None and self._pick_pallas():
+            from ..kernels.traverse_pallas import PallasTraverser
+            interpret = jax.default_backend() == "cpu"
+            self.traverse_fn = PallasTraverser(self.scene, self.bvh,
+                                               interpret=interpret)
         self.scene_has_water = bool(
             (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
         scene_min_y = float(np.asarray(self.scene.vertices)[:, 1].min())
@@ -128,6 +134,14 @@ class Simulator:
                 scene_has_water=self.scene_has_water,
                 traverse_fn=self.traverse_fn),
             static_argnames=())
+
+    def _pick_pallas(self) -> bool:
+        from ..kernels.traverse_pallas import vmem_capacity_faces
+        fits = self.scene.faces.shape[0] <= vmem_capacity_faces()
+        if self.use_pallas is not None:
+            return self.use_pallas and fits
+        # the axon plugin reports its own platform name for the TPU tunnel
+        return jax.default_backend() in ("tpu", "axon") and fits
 
     def run_chunk(self, rays: RayBundle, base_ray_index=0) -> PointCloud:
         return self._jitted(self.scene, self.bvh, self.materials, rays,

@@ -11,8 +11,10 @@ with height/ray jitter and parallel-ray beam supersampling.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -103,11 +105,17 @@ def plan_flight(cfg: SensorConfig, aabb_min, aabb_max,
 
 def build_als_rays(cfg: SensorConfig, plan: ALSPlan, noise_buf: jax.Array, *,
                    start: int = 0, count: int | None = None) -> RayBundle:
-    """Generate aerial pulses [start, start+count)."""
+    """Generate aerial pulses [start, start+count).  One jitted dispatch."""
+    key = _PlanKey(plan.num_paths, plan.path_length, plan.pulses_per_scan,
+                   plan.start_radians, plan.increment_radians,
+                   plan.ellipse_radius, plan.ellipse_scale,
+                   plan.height_radius)
+    waypoints = jnp.asarray(plan.waypoints)
     if cfg.lidar_type == LiDARType.AERIAL_ELLIPTICAL:
-        return _build_elliptical(cfg, plan, noise_buf, start, count)
+        return _build_elliptical(cfg, key, waypoints, noise_buf, start, count)
     zigzag = cfg.lidar_type == LiDARType.AERIAL_ZIGZAG
-    return _build_linear_zigzag(cfg, plan, noise_buf, start, count, zigzag)
+    return _build_linear_zigzag(cfg, key, waypoints, noise_buf, start, count,
+                                zigzag)
 
 
 def _pulse_disc(cfg, noise_buf, idx, origin, sphere):
@@ -132,12 +140,32 @@ def _pulse_disc(cfg, noise_buf, idx, origin, sphere):
     return origin_all, dir_all
 
 
-def _build_linear_zigzag(cfg, plan, noise_buf, start, count, zigzag):
-    P_total = plan.num_pulses
+class _PlanKey(NamedTuple):
+    """Hashable static subset of ALSPlan for jit keying."""
+
+    num_paths: int
+    path_length: int
+    pulses_per_scan: int
+    start_radians: float
+    increment_radians: float
+    ellipse_radius: float
+    ellipse_scale: float
+    height_radius: float
+
+
+def _plan_pulses(plan: _PlanKey) -> int:
+    if plan.increment_radians and plan.pulses_per_scan:
+        return (plan.path_length - 1) * plan.num_paths * plan.pulses_per_scan
+    return (plan.path_length - 1) * plan.num_paths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "start", "count",
+                                             "zigzag"))
+def _build_linear_zigzag(cfg, plan, wp, noise_buf, start, count, zigzag):
+    P_total = _plan_pulses(plan)
     if count is None:
         count = P_total - start
     idx = jnp.arange(start, start + count, dtype=jnp.uint32)
-    wp = jnp.asarray(plan.waypoints)
     n_pulses = jnp.uint32(plan.pulses_per_scan)
     plen = jnp.uint32(plan.path_length)
 
@@ -176,12 +204,12 @@ def _build_linear_zigzag(cfg, plan, noise_buf, start, count, zigzag):
     return RayBundle(origin=origin_all, direction=dir_all, gps_time=gps)
 
 
-def _build_elliptical(cfg, plan, noise_buf, start, count):
-    P_total = plan.num_pulses
+@functools.partial(jax.jit, static_argnames=("cfg", "plan", "start", "count"))
+def _build_elliptical(cfg, plan, wp, noise_buf, start, count):
+    P_total = _plan_pulses(plan)
     if count is None:
         count = P_total - start
     idx = jnp.arange(start, start + count, dtype=jnp.uint32)
-    wp = jnp.asarray(plan.waypoints)
     plen = jnp.uint32(plan.path_length)
 
     path_id = idx // (plen - 1)

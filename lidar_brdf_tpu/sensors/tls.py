@@ -20,6 +20,8 @@ for pose gradients).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -59,7 +61,15 @@ def build_tls_rays(cfg: SensorConfig, noise_buf: jax.Array, *,
     """Generate TLS pulses [start, start+count) of the scan grid.
 
     ``noise_buf`` is the U[-1,1] ray-gen buffer (`RayBuilder.cpp:55-66`).
+    Jitted per (cfg, start, count) signature — one device dispatch.
     """
+    return _build_tls_rays_jit(cfg, noise_buf, position, direction,
+                               start, count)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "start", "count"))
+def _build_tls_rays_jit(cfg, noise_buf, position, direction, start, count):
     vres = tls_vertical_resolution(cfg)
     total = num_tls_pulses(cfg)
     if count is None:
