@@ -148,31 +148,56 @@ class Simulator:
                             self.noise_buf, self.scalars,
                             base_ray_index=base_ray_index)
 
-    def run(self, rays: RayBundle) -> PointCloud:
-        """Chunked execution over all pulses; host-side concat + compact."""
+    def run(self, rays: RayBundle, checkpoint_dir: str | None = None,
+            metrics=None) -> PointCloud:
+        """Chunked execution over all pulses; host-side concat + compact.
+
+        With ``checkpoint_dir``, finished chunks are persisted and a
+        restarted run resumes after the last completed chunk.
+        """
         P = rays.num_pulses
         chunk = min(self.cfg.chunk_pulses, P)
+        ckpt = None
+        done = 0
         clouds = []
-        for lo in range(0, P, chunk):
+        if checkpoint_dir is not None:
+            from .checkpoint import ChunkCheckpointer
+            ckpt = ChunkCheckpointer(checkpoint_dir)
+            done = ckpt.completed_chunks()
+            clouds = [ckpt.load_chunk(i) for i in range(done)]
+        for ci, lo in enumerate(range(0, P, chunk)):
+            if ci < done:
+                continue
             hi = min(lo + chunk, P)
-            sl = jax.tree.map(lambda a: a[lo:hi], rays)
-            if hi - lo < chunk:   # pad the tail chunk to the static shape
-                pad = chunk - (hi - lo)
-                # Padded pulses: origin far outside the scene with zero
-                # direction -> slab test misses immediately, no hits, masked
-                # out naturally.
-                sl = RayBundle(
-                    origin=jnp.concatenate(
-                        [sl.origin,
-                         jnp.full((pad,) + sl.origin.shape[1:], 1e10,
-                                  sl.origin.dtype)]),
-                    direction=jnp.concatenate(
-                        [sl.direction,
-                         jnp.zeros((pad,) + sl.direction.shape[1:],
-                                   sl.direction.dtype)]),
-                    gps_time=jnp.concatenate(
-                        [sl.gps_time, jnp.zeros(pad, sl.gps_time.dtype)]),
-                )
-            cloud = self.run_chunk(sl, lo * rays.rays_per_pulse)
+            cloud = self._run_slice(rays, lo, hi, chunk, metrics)
+            if ckpt is not None:
+                ckpt.save_chunk(ci, cloud)
             clouds.append(jax.tree.map(np.asarray, cloud))
         return concat_pointclouds(clouds)
+
+    def _run_slice(self, rays: RayBundle, lo: int, hi: int, chunk: int,
+                   metrics=None) -> PointCloud:
+        sl = jax.tree.map(lambda a: a[lo:hi], rays)
+        if hi - lo < chunk:   # pad the tail chunk to the static shape
+            pad = chunk - (hi - lo)
+            # Padded pulses: origin far outside the scene with zero
+            # direction -> slab test misses immediately, no hits, masked
+            # out naturally.
+            sl = RayBundle(
+                origin=jnp.concatenate(
+                    [sl.origin,
+                     jnp.full((pad,) + sl.origin.shape[1:], 1e10,
+                              sl.origin.dtype)]),
+                direction=jnp.concatenate(
+                    [sl.direction,
+                     jnp.zeros((pad,) + sl.direction.shape[1:],
+                               sl.direction.dtype)]),
+                gps_time=jnp.concatenate(
+                    [sl.gps_time, jnp.zeros(pad, sl.gps_time.dtype)]),
+            )
+        if metrics is not None:
+            with metrics.stage("TOTAL") as m:
+                cloud = self.run_chunk(sl, lo * rays.rays_per_pulse)
+                m["sync"] = cloud.intensity
+            return cloud
+        return self.run_chunk(sl, lo * rays.rays_per_pulse)

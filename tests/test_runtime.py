@@ -1,0 +1,86 @@
+"""Runtime subsystem tests: chunking, checkpoint/resume, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+from lidar_brdf_tpu.core.config import SensorConfig, ShadingMode
+from lidar_brdf_tpu.io import synthetic
+from lidar_brdf_tpu.io.materials import MaterialLibrary
+from lidar_brdf_tpu.runtime.checkpoint import (ChunkCheckpointer, load_params,
+                                               save_params)
+from lidar_brdf_tpu.runtime.metrics import PipelineMetrics
+from lidar_brdf_tpu.runtime.simulate import Simulator
+
+
+def _mk(rng, chunk_pulses):
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=3)
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(
+        tls_position=(0.0, 9.0, 0.0), tls_fov_vertical=70.0,
+        tls_middle_angle_vertical=-40.0, tls_fov_horizontal=360.0,
+        tls_resolution_horizontal=24, tls_resolution_vertical=8,
+        rays_per_pulse=2, max_returns=1, chunk_pulses=chunk_pulses,
+        shading_mode=ShadingMode.LAMBERTIAN,
+        include_shiny_surface_error=False)
+    rays = build_rays(cfg, scene)
+    materials = MaterialLibrary.default().table_at(1064)
+    return scene, bvh, cfg, rays, materials
+
+
+def test_chunked_equals_single_pass(rng):
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=64)
+    sim_chunked = Simulator(scene=scene, bvh=bvh, materials=materials,
+                            cfg=cfg)
+    cloud_a = sim_chunked.run(rays)
+    cfg_big = cfg.with_(chunk_pulses=24 * 8)
+    sim_single = Simulator(scene=scene, bvh=bvh, materials=materials,
+                           cfg=cfg_big)
+    cloud_b = sim_single.run(rays)
+    ma, mb = np.asarray(cloud_a.mask), np.asarray(cloud_b.mask)
+    assert ma.sum() == mb.sum()
+    pa = np.asarray(cloud_a.position)[ma]
+    pb = np.asarray(cloud_b.position)[mb]
+    # same points in some order: compare sorted
+    np.testing.assert_allclose(np.sort(pa.round(4), axis=0),
+                               np.sort(pb.round(4), axis=0), atol=1e-3)
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=48)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    ckdir = str(tmp_path / "ck")
+    cloud_full = sim.run(rays, checkpoint_dir=ckdir)
+    ck = ChunkCheckpointer(ckdir)
+    assert ck.completed_chunks() == -(-rays.num_pulses // 48)
+    # simulate a crash after 1 chunk: truncate state, resume
+    import json
+    with open(ck.state_path, "w") as fh:
+        json.dump({"completed_chunks": 1}, fh)
+    cloud_resumed = sim.run(rays, checkpoint_dir=ckdir)
+    assert int(np.asarray(cloud_resumed.mask).sum()) == \
+        int(np.asarray(cloud_full.mask).sum())
+
+
+def test_params_roundtrip(tmp_path):
+    materials = MaterialLibrary.default().table_at(1064)
+    path = str(tmp_path / "params.npz")
+    save_params(path, materials, step=42)
+    back, step, _ = load_params(path)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(materials.brdf_table),
+                                  np.asarray(back.brdf_table))
+
+
+def test_metrics_aggregation():
+    m = PipelineMetrics()
+    import time
+    for _ in range(3):
+        with m.stage("TRAVERSE"):
+            time.sleep(0.01)
+    assert m.mean("TRAVERSE") >= 0.01
+    assert "TRAVERSE" in m.report()
+    m2 = PipelineMetrics(discard_first=True)
+    m2.samples["X"] = [100.0, 1.0, 1.0]
+    assert abs(m2.mean("X") - 1.0) < 1e-9
