@@ -32,7 +32,16 @@ def build_rays(cfg: SensorConfig, scene: TriangleScene,
     key = jax.random.PRNGKey(seed + 1)
     raygen_noise = noise_mod.make_raygen_noise(key)
     if cfg.lidar_type == LiDARType.TERRESTRIAL_SPHERICAL:
-        return build_tls_rays(cfg, raygen_noise)
+        count = None
+        if cfg.use_simulation_time:
+            # time-based ray budget (`TerrestrialSphericalBuilder::
+            # getNumSimulatedRays`): scan_frequency * simulation_time
+            # revolutions of the scan grid (can exceed one revolution —
+            # pulse indices continue past the grid).
+            from .sensors.tls import num_tls_pulses
+            count = int(num_tls_pulses(cfg) * cfg.scan_frequency_hz
+                        * cfg.simulation_time)
+        return build_tls_rays(cfg, raygen_noise, count=count)
     lo, hi = scene.aabb()
     plan = plan_flight(cfg, np.asarray(lo), np.asarray(hi),
                        np.random.default_rng(seed))

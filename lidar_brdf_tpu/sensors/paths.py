@@ -116,6 +116,23 @@ class CatmullRomPath:
         return result
 
 
+class BezierPath:
+    """Bezier curve over control points (the reference builds these on GPU
+    for the GUI path preview, `Interpolations/buildBezierCurve-comp.glsl`;
+    here a host-side de Casteljau for path tooling parity)."""
+
+    def __init__(self, control_points: np.ndarray):
+        self.points = np.asarray(control_points, np.float64)
+
+    def position(self, t: float) -> np.ndarray:
+        pts = self.points.copy()
+        t = min(max(t, 0.0), 1.0)
+        n = len(pts)
+        for r in range(1, n):
+            pts[:n - r] = (1 - t) * pts[:n - r] + t * pts[1:n - r + 1]
+        return pts[0]
+
+
 def sweep_width(fov_deg: float, height: float) -> float:
     """Across-track swath radius*2 (`RayBuilder::getRadius`)."""
     return abs(math.tan(math.radians(fov_deg) / 2.0) * height) * 2.0
