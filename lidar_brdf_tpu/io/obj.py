@@ -41,9 +41,51 @@ class ObjComponent:
     material_name: str | None = None
 
 
-def parse_obj(path: str) -> list[ObjComponent]:
+@dataclass
+class MtlMaterial:
+    """Rendering material constants from a .mtl file.
+
+    The reference bakes texture albedo/specular into vertex kad/ks/ns via a
+    compute pass (`retrieveColors-comp.glsl:33-47`); without texture images
+    we bake the .mtl constants (Kd color, Ks scalar, Ns exponent), which is
+    what feeds the shininess/loss model (`reduceCollisions:140-142`).
+    """
+
+    kd: tuple = (0.7, 0.7, 0.7)
+    ks: float = 0.0
+    ns: float = 1.0
+
+
+def parse_mtl(path: str) -> dict[str, MtlMaterial]:
+    mats: dict[str, MtlMaterial] = {}
+    cur: MtlMaterial | None = None
+    if not os.path.exists(path):
+        return mats
+    with open(path, "r", errors="replace") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0].lower()
+            if tag == "newmtl" and len(parts) > 1:
+                cur = MtlMaterial()
+                mats[parts[1]] = cur
+            elif cur is None:
+                continue
+            elif tag == "kd" and len(parts) >= 4:
+                cur.kd = (float(parts[1]), float(parts[2]), float(parts[3]))
+            elif tag == "ks" and len(parts) >= 4:
+                cur.ks = max(float(parts[1]), float(parts[2]),
+                             float(parts[3]))
+            elif tag == "ns" and len(parts) >= 2:
+                cur.ns = float(parts[1])
+    return mats
+
+
+def parse_obj(path: str, mtl_out: list | None = None) -> list[ObjComponent]:
     """Minimal robust OBJ parser: v/vt/vn, f (triangulated by fanning),
-    o/g component splits, usemtl tracking."""
+    o/g component splits, usemtl tracking.  ``mtl_out`` (optional list)
+    collects referenced mtllib paths."""
     positions: list[list[float]] = []
     uvs: list[list[float]] = []
     normals: list[list[float]] = []
@@ -108,7 +150,11 @@ def parse_obj(path: str) -> list[ObjComponent]:
                 if len(parts) > 1:
                     cur_name = " ".join(parts[1:])
             elif tag == "usemtl":
+                if cur_faces and parts[1:] and parts[1] != cur_mtl:
+                    flush()   # material change splits the component
                 cur_mtl = parts[1] if len(parts) > 1 else None
+            elif tag == "mtllib" and len(parts) > 1 and mtl_out is not None:
+                mtl_out.append(os.path.join(os.path.dirname(path), parts[1]))
             elif tag == "f" and len(parts) >= 4:
                 verts = []
                 for tok in parts[1:]:
@@ -163,6 +209,9 @@ class SceneBuilder:
     vertices: list = field(default_factory=list)
     faces: list = field(default_factory=list)
     uvs: list = field(default_factory=list)
+    ks: list = field(default_factory=list)
+    ns: list = field(default_factory=list)
+    kad: list = field(default_factory=list)
     comp_of_face: list = field(default_factory=list)
     comp_material: list = field(default_factory=list)
     comp_surface: list = field(default_factory=list)
@@ -175,7 +224,8 @@ class SceneBuilder:
     def add_component(self, comp: ObjComponent,
                       material_map: dict[str, str] | None = None,
                       asprs_map: dict[str, str] | None = None,
-                      semantic_map: dict[str, str] | None = None) -> int:
+                      semantic_map: dict[str, str] | None = None,
+                      mtl: "MtlMaterial | None" = None) -> int:
         cid = len(self.comp_material)
         name_keys = [comp.name or ""]
         if comp.material_name:
@@ -215,6 +265,11 @@ class SceneBuilder:
         self.faces.append(comp.faces + self._voff)
         self.uvs.append(comp.uvs if comp.uvs is not None
                         else np.zeros((len(comp.vertices), 2), np.float32))
+        nv = len(comp.vertices)
+        mtl = mtl or MtlMaterial()
+        self.ks.append(np.full(nv, mtl.ks, np.float32))
+        self.ns.append(np.full(nv, mtl.ns, np.float32))
+        self.kad.append(np.tile(np.asarray(mtl.kd, np.float32), (nv, 1)))
         self.comp_of_face.append(np.full(len(comp.faces), cid, np.int32))
         self.comp_material.append(MATERIAL_ID.get(mat_name, MATERIAL_ID["STONE"]))
         self.comp_surface.append(surface)
@@ -236,7 +291,10 @@ class SceneBuilder:
             comp_surface=np.asarray(self.comp_surface, np.int32),
             comp_semantic=np.asarray(self.comp_semantic, np.int32),
             comp_asprs=np.asarray(self.comp_asprs, np.int32),
-            vertex_uv=np.concatenate(self.uvs))
+            vertex_uv=np.concatenate(self.uvs),
+            vertex_ks=np.concatenate(self.ks),
+            vertex_ns=np.concatenate(self.ns),
+            vertex_kad=np.concatenate(self.kad))
 
 
 def load_obj_scene(path: str, *, use_cache: bool = True) -> TriangleScene:
@@ -264,8 +322,15 @@ def load_obj_scenes(paths: list[str]) -> TriangleScene:
         material_map = read_sidecar(base + ".LiDARMaterial")
         asprs_map = read_sidecar(base + ".semanticASPRS")
         semantic_map = read_sidecar(base + ".semanticCustom")
-        for comp in parse_obj(path):
-            builder.add_component(comp, material_map, asprs_map, semantic_map)
+        mtl_paths: list[str] = []
+        comps = parse_obj(path, mtl_out=mtl_paths)
+        mtls: dict[str, MtlMaterial] = {}
+        for mp in mtl_paths:
+            mtls.update(parse_mtl(mp))
+        for comp in comps:
+            builder.add_component(
+                comp, material_map, asprs_map, semantic_map,
+                mtl=mtls.get(comp.material_name or ""))
     return builder.build()
 
 
