@@ -284,14 +284,15 @@ def simulate_returns(
                   + scene.vertex_uv[scene.faces[jnp.maximum(face_w, 0), 2]]
                   * v_w[:, None])
 
+        z = lambda v: jnp.where(valid_col, v, 0.0)   # sanitize masked slots
         record = ReturnRecord(
             mask=valid_col,
             point=jnp.where(valid_col[:, None], point_rec, 0.0),
-            normal=normal_w,
-            uv=uv_rec,
-            distance=corrected,
-            angle=angle,
-            gps_time=gps,
+            normal=jnp.where(valid_col[:, None], normal_w, 0.0),
+            uv=jnp.where(valid_col[:, None], uv_rec, 0.0),
+            distance=z(corrected),
+            angle=z(angle),
+            gps_time=z(gps),
             comp=jnp.where(valid_col, comp_w, -1),
             face=jnp.where(valid_col, face_w, -1),
             num_intersected=num_intersected,
