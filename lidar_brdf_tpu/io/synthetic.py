@@ -67,7 +67,8 @@ def ground_plane(half=50.0, y=0.0, cells=1) -> tuple[np.ndarray, np.ndarray]:
     b = idx[1:, :-1].ravel()
     c = idx[:-1, 1:].ravel()
     d = idx[1:, 1:].ravel()
-    faces = np.concatenate([np.stack([a, b, c], -1), np.stack([b, d, c], -1)])
+    # winding chosen so face normals point up (+y)
+    faces = np.concatenate([np.stack([a, c, b], -1), np.stack([b, c, d], -1)])
     return verts.astype(np.float32), faces.astype(np.int32)
 
 

@@ -327,7 +327,13 @@ def simulate_returns(
         active_next = jnp.where(valid_col[:, None], new_active_valid,
                                 continue_ray)
         eta = materials.refractive_index[mat_w]
-        refr = _unit(_refract(direction, normal_w[:, None, :],
+        # Orient the interface normal against the incident ray (robust to
+        # mesh winding; GLSL refract assumes dot(N, I) < 0 and the
+        # reference trusts its models' winding).
+        n_in = normal_w[:, None, :]
+        flip = jnp.sign(jnp.sum(n_in * direction, axis=-1, keepdims=True))
+        n_or = -jnp.where(flip == 0, 1.0, flip) * n_in
+        refr = _unit(_refract(direction, n_or,
                               jnp.broadcast_to(eta[:, None], (P, R))))
         water_upd = (valid_col & is_water)[:, None, None]      # (P, 1, 1)
         origin_next = jnp.where(water_upd, point_i + direction * 1e-4, origin)
