@@ -88,6 +88,41 @@ def simulate_spectral(scene: TriangleScene, cfg: SensorConfig,
     return out
 
 
+def tls_path_from_canvas(points_2d, canvas_size, scene: TriangleScene,
+                         height: float,
+                         douglas_peucker_epsilon: float = 3.0) -> np.ndarray:
+    """User-drawn 2-D canvas path -> world-space TLS scan positions.
+
+    Reference `LiDARSimulation::getTLSPath` (LiDARSimulation.cpp:161-187):
+    redundant-point removal + Douglas-Peucker, then canvas -> scene XZ
+    mapping with constant height.
+    """
+    from .sensors.paths import douglas_peucker, remove_redundant_points
+    lo, hi = scene.aabb()
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    pts = remove_redundant_points(np.asarray(points_2d, np.float32))
+    pts = douglas_peucker(pts, douglas_peucker_epsilon)
+    scene_size = np.array([hi[0] - lo[0], hi[2] - lo[2]])
+    scene_min = np.array([lo[0], lo[2]])
+    world = pts * scene_size / np.asarray(canvas_size, np.float64) + scene_min
+    return np.stack([world[:, 0], np.full(len(world), height),
+                     world[:, 1]], axis=1).astype(np.float32)
+
+
+def loss_curve(cfg: SensorConfig, num_samples: int = 256) -> tuple:
+    """Per-return loss probability as a function of shininess (the GUI's
+    ImPlot preview, `GUI.cpp:33-71,736-760`): threshold below
+    ``loss_threshold``, else mult*(s+add)^power clamped to [0,1]."""
+    s = np.linspace(0.0, 1.0, num_samples)
+    loss = np.where(
+        s < cfg.loss_threshold, 0.0,
+        cfg.loss_mult_coefficient
+        * np.power(np.maximum(s + cfg.loss_add_coefficient, 0.0),
+                   cfg.loss_power))
+    return s, np.clip(loss, 0.0, 1.0)
+
+
 def simulate_tls_path(scene: TriangleScene, cfg: SensorConfig,
                       positions: np.ndarray,
                       materials: MaterialTable | None = None,
