@@ -19,7 +19,7 @@ import numpy as np
 PER_CHIP_TARGET = 100e6 / 8.0
 
 
-def build_workload(num_pulses, rays_per_pulse, num_tris_target=60_000):
+def build_workload(num_pulses, rays_per_pulse, num_tris_target=40_000):
     """Build scene/rays/materials on the CPU backend (host), as numpy.
 
     Keeps the TPU compile surface to exactly one program (the fwd+bwd step):
@@ -34,9 +34,9 @@ def build_workload(num_pulses, rays_per_pulse, num_tris_target=60_000):
     from lidar_brdf_tpu.utils import noise as noise_mod
 
     rng = np.random.default_rng(0)
-    # terrain + enough boxes to reach the triangle budget (12 tris/box)
-    num_boxes = max((num_tris_target - 32) // 12, 1)
-    scene = synthetic.terrain_with_boxes(rng, num_boxes=num_boxes, half=60.0)
+    # ground + buildings on a jittered grid (12 tris/building)
+    num_buildings = max((num_tris_target - 128) // 12, 1)
+    scene = synthetic.city_scene(rng, num_buildings=num_buildings)
     bvh = build_scene_bvh(scene)
     vres = 64
     cfg = SensorConfig(

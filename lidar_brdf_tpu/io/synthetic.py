@@ -88,6 +88,55 @@ def box(center, half_extent) -> tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(faces, np.int32)
 
 
+def city_scene(rng, num_buildings=64, half=None, ground_cells=8) -> TriangleScene:
+    """Structured benchmark scene: ground + buildings on a jittered grid.
+
+    Unlike ``terrain_with_boxes`` (random overlapping boxes — a worst case
+    for any BVH), buildings sit on disjoint grid cells like the reference's
+    demo scenes, so traversal behaviour is representative.
+    """
+    import math
+    side = int(math.ceil(math.sqrt(num_buildings)))
+    cell = 8.0
+    half = half or (side * cell / 2 + 10.0)
+    parts_v, parts_f, comp_of_face = [], [], []
+    comp_surface, comp_material, comp_asprs = [], [], []
+    voff = 0
+
+    def add(v, f, comp, surface, material, asprs):
+        nonlocal voff
+        parts_v.append(v)
+        parts_f.append(f + voff)
+        comp_of_face.append(np.full(len(f), comp, np.int32))
+        comp_surface.append(surface)
+        comp_material.append(material)
+        comp_asprs.append(asprs)
+        voff += len(v)
+
+    gv, gf = ground_plane(half=half, y=0.0, cells=ground_cells)
+    add(gv, gf, 0, SURFACE_TERRAIN, 7, 2)
+    comp = 1
+    for b in range(num_buildings):
+        gx, gz = b % side, b // side
+        cx = (gx - side / 2 + 0.5) * cell + rng.uniform(-1.0, 1.0)
+        cz = (gz - side / 2 + 0.5) * cell + rng.uniform(-1.0, 1.0)
+        h = rng.uniform(2.0, 12.0)
+        wx, wz = rng.uniform(1.5, 3.0, 2)
+        bv, bf = box((cx, h / 2, cz), (wx, h / 2, wz))
+        add(bv, bf, comp, 0, 7, 6)          # STONE buildings
+        comp += 1
+    vertices = np.concatenate(parts_v)
+    faces = np.concatenate(parts_f)
+    return scene_from_arrays(
+        vertices, faces,
+        comp_of_face=np.concatenate(comp_of_face),
+        num_components=comp,
+        comp_material=np.asarray(comp_material, np.int32),
+        comp_surface=np.asarray(comp_surface, np.int32),
+        comp_semantic=np.arange(comp, dtype=np.int32),
+        comp_asprs=np.asarray(comp_asprs, np.int32))
+
+
 def terrain_with_boxes(rng, num_boxes=8, half=40.0,
                        water_patch=False) -> TriangleScene:
     """Ground plane + scattered boxes, with component/material structure.

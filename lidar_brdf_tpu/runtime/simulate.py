@@ -27,6 +27,25 @@ from ..physics.types import OutlierRecord, ReturnRecord
 from ..utils import noise as noise_mod
 
 
+def coherent_order(rays: RayBundle) -> RayBundle:
+    """Permute pulses by Morton code of (origin, direction) so consecutive
+    pulses — and therefore traversal tiles — are compact angular/spatial
+    clusters rather than long scan columns.  Point clouds are order-free
+    (every attribute is per-pulse), so no un-permutation is needed."""
+    from ..geom.morton import morton3d_np
+    o = np.asarray(rays.origin)[:, 0, :]
+    d = np.asarray(rays.direction)[:, 0, :]
+    span = lambda a: (a.min(axis=0), np.where(
+        a.max(axis=0) - a.min(axis=0) < 1e-9,
+        a.min(axis=0) + 1.0, a.max(axis=0)))
+    m_d = morton3d_np(d, *span(d)).astype(np.uint64)
+    m_o = morton3d_np(o, *span(o)).astype(np.uint64)
+    # coarse origin cell first (ALS flight segments), direction within
+    key = ((m_o >> np.uint64(12)) << np.uint64(30)) | m_d
+    order = np.argsort(key, kind="stable")
+    return jax.tree.map(lambda a: np.asarray(a)[order], rays)
+
+
 def records_to_pointcloud(scene: TriangleScene, records: ReturnRecord,
                           outliers: OutlierRecord, num_returns: jax.Array,
                           intensity: jax.Array,
@@ -174,6 +193,9 @@ class Simulator:
                 ckpt.save_chunk(ci, cloud)
             clouds.append(jax.tree.map(np.asarray, cloud))
         return concat_pointclouds(clouds)
+
+    def coherent_order(self, rays: RayBundle) -> RayBundle:
+        return coherent_order(rays)
 
     def _run_slice(self, rays: RayBundle, lo: int, hi: int, chunk: int,
                    metrics=None) -> PointCloud:
