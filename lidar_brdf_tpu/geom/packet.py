@@ -5,23 +5,22 @@ step is a per-ray gather and divergent control flow.  Scan rays, however, are
 extremely coherent, so we traverse per *tile* of T consecutive rays instead
 (classic packet tracing): one shared walk of the threaded tree per tile,
 descending when ANY ray in the tile hits the node box.  All per-ray math is
-dense (T,)-vector work on the VPU, and the only gathers are two small row
-fetches (node, triangle) per tile per step — T times fewer than per-ray
-traversal.
+dense (T,)-vector work on the VPU, and the only gathers are a few small row
+fetches per tile per step — T times fewer than per-ray traversal.
 
-Node and triangle records are packed into single f32 rows (ints bitcast) so
-each step gathers exactly two rows:
-  node row: [min.x min.y min.z max.x max.y max.z skip_bits face_bits]
-  tri  row: [v0.xyz e1.xyz e2.xyz]  (Moller-Trumbore precomputation)
+NOTE: int<->float bitcasts on gathered data inside `lax.while_loop` fault
+the TPU runtime (observed as `UNAVAILABLE: TPU device error`), so node
+skip/face links live in separate int32 arrays instead of being packed into
+float lanes.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.types import BVH, Hit, TriangleScene
 from .intersect import BIG, EPSILON
@@ -29,20 +28,39 @@ from .intersect import BIG, EPSILON
 DEFAULT_TILE = 128
 
 
-def pack_bvh(bvh: BVH) -> jnp.ndarray:
-    """(N, 8) f32 node rows with skip/face bitcast into lanes 6..7.
-    Pure jnp so it can run under jit on traced arrays."""
-    bits = lambda x: jax.lax.bitcast_convert_type(
-        jnp.asarray(x, jnp.int32), jnp.float32)
-    return jnp.concatenate([
-        jnp.asarray(bvh.node_min, jnp.float32),
-        jnp.asarray(bvh.node_max, jnp.float32),
-        bits(bvh.node_skip)[:, None],
-        bits(bvh.node_face)[:, None]], axis=1)
+class PackedScene(NamedTuple):
+    """Traversal-ready arrays (all device-friendly dtypes, no bitcasts)."""
+
+    node_box: jax.Array    # (N, 6) f32 [min.xyz max.xyz]
+    node_skip: jax.Array   # (N,)  i32
+    node_face: jax.Array   # (N,)  i32 (leaf face id, -1 internal)
+    tri_rows: jax.Array    # (F, 9) f32 [v0 e1 e2]
+
+
+def pack_scene(scene: TriangleScene, bvh: BVH) -> PackedScene:
+    """Pure jnp (usable under jit on traced arrays)."""
+    v = jnp.asarray(scene.vertices, jnp.float32)
+    f = scene.faces
+    v0 = v[f[:, 0]]
+    tri_rows = jnp.concatenate([v0, v[f[:, 1]] - v0, v[f[:, 2]] - v0], axis=1)
+    node_box = jnp.concatenate([jnp.asarray(bvh.node_min, jnp.float32),
+                                jnp.asarray(bvh.node_max, jnp.float32)],
+                               axis=1)
+    return PackedScene(node_box=node_box,
+                       node_skip=jnp.asarray(bvh.node_skip, jnp.int32),
+                       node_face=jnp.asarray(bvh.node_face, jnp.int32),
+                       tri_rows=tri_rows)
+
+
+# Back-compat helpers (tests / scripts)
+def pack_bvh(bvh: BVH):
+    return (jnp.concatenate([jnp.asarray(bvh.node_min, jnp.float32),
+                             jnp.asarray(bvh.node_max, jnp.float32)], axis=1),
+            jnp.asarray(bvh.node_skip, jnp.int32),
+            jnp.asarray(bvh.node_face, jnp.int32))
 
 
 def pack_triangles(scene: TriangleScene) -> jnp.ndarray:
-    """(F, 9) f32 triangle rows: v0, e1 = v1-v0, e2 = v2-v0."""
     v = jnp.asarray(scene.vertices, jnp.float32)
     f = scene.faces
     v0 = v[f[:, 0]]
@@ -50,14 +68,15 @@ def pack_triangles(scene: TriangleScene) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("tile",))
-def intersect_packed(nodes: jnp.ndarray, tris: jnp.ndarray,
-                     origin, direction, *, tile: int = DEFAULT_TILE) -> Hit:
+def intersect_packed_scene(packed: PackedScene, origin, direction, *,
+                           tile: int = DEFAULT_TILE) -> Hit:
     """Nearest-hit intersection via packet traversal.
 
     origin/direction: (..., 3).  Rays are flattened and tiled in order, so
     callers should pass scan-ordered rays (consecutive pulses are spatially
     coherent; BVH leaves are Morton-ordered).
     """
+    node_box, node_skip, node_face, tris = packed
     shape = origin.shape[:-1]
     o = jax.lax.stop_gradient(origin.reshape(-1, 3))
     d = jax.lax.stop_gradient(direction.reshape(-1, 3))
@@ -73,8 +92,7 @@ def intersect_packed(nodes: jnp.ndarray, tris: jnp.ndarray,
                        jnp.where(d < 0, -1e-12, 1e-12), d)
     inv_d = 1.0 / d_safe
 
-    n_nodes = nodes.shape[0]
-    sentinel = jnp.int32(n_nodes)
+    sentinel = jnp.int32(node_box.shape[0])
 
     def cond(state):
         node, _, _ = state
@@ -83,11 +101,11 @@ def intersect_packed(nodes: jnp.ndarray, tris: jnp.ndarray,
     def body(state):
         node, t_best, face_best = state                       # (nt,), (nt,T)
         safe = jnp.minimum(node, sentinel - 1)
-        row = nodes[safe]                                     # (nt, 8) gather
+        row = node_box[safe]                                  # (nt, 6)
         bmin = row[:, None, 0:3]
         bmax = row[:, None, 3:6]
-        skip = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        leaf_face = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        skip = node_skip[safe]
+        leaf_face = node_face[safe]
 
         t0 = (bmin - o) * inv_d
         t1 = (bmax - o) * inv_d
@@ -96,17 +114,16 @@ def intersect_packed(nodes: jnp.ndarray, tris: jnp.ndarray,
         hit_ray = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_best)
         active = node < sentinel
         any_hit = hit_ray.any(axis=-1) & active               # (nt,)
-
         is_leaf = leaf_face >= 0
-        trow = tris[jnp.maximum(leaf_face, 0)]                # (nt, 9) gather
+
+        trow = tris[jnp.maximum(leaf_face, 0)]                # (nt, 9)
         v0 = trow[:, None, 0:3]
         e1 = trow[:, None, 3:6]
         e2 = trow[:, None, 6:9]
-        # Moller-Trumbore, dense over the tile
         h = jnp.cross(d, jnp.broadcast_to(e2, d.shape))
         a = jnp.sum(jnp.broadcast_to(e1, d.shape) * h, axis=-1)
-        f = jnp.where(jnp.abs(a) < EPSILON, 0.0,
-                      1.0 / jnp.where(a == 0, 1.0, a))
+        f = 1.0 / jnp.where(jnp.abs(a) < EPSILON,
+                            jnp.where(a < 0, -1.0, 1.0), a)
         s = o - v0
         u = f * jnp.sum(s * h, axis=-1)
         q = jnp.cross(s, jnp.broadcast_to(e1, s.shape))
@@ -134,13 +151,24 @@ def intersect_packed(nodes: jnp.ndarray, tris: jnp.ndarray,
     return Hit(t=t_best.reshape(shape), face=face_best.reshape(shape))
 
 
+def intersect_packed(nodes, tris, origin, direction, *,
+                     tile: int = DEFAULT_TILE) -> Hit:
+    """Compatibility wrapper over `intersect_packed_scene`.
+
+    ``nodes`` is the (box, skip, face) triple from `pack_bvh`.
+    """
+    node_box, node_skip, node_face = nodes
+    packed = PackedScene(node_box=node_box, node_skip=node_skip,
+                         node_face=node_face, tri_rows=tris)
+    return intersect_packed_scene(packed, origin, direction, tile=tile)
+
+
 def make_packet_traverser(scene: TriangleScene, bvh: BVH,
                           tile: int = DEFAULT_TILE):
     """Bind packed arrays; returns traverse_fn(origin, direction) -> Hit."""
-    nodes = pack_bvh(bvh)
-    tris = pack_triangles(scene)
+    packed = pack_scene(scene, bvh)
 
     def traverse(origin, direction):
-        return intersect_packed(nodes, tris, origin, direction, tile=tile)
+        return intersect_packed_scene(packed, origin, direction, tile=tile)
 
     return traverse

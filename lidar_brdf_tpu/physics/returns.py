@@ -140,10 +140,9 @@ def simulate_returns(
     if traverse_fn is None:
         # Packet traversal is the TPU-shaped default; the per-ray lockstep
         # path (`intersect_bvh`) remains available for testing.
-        from ..geom.packet import intersect_packed, pack_bvh, pack_triangles
-        nodes = pack_bvh(bvh)
-        tris = pack_triangles(scene)
-        traverse_fn = lambda o, d: intersect_packed(nodes, tris, o, d)
+        from ..geom.packet import intersect_packed_scene, pack_scene
+        packed = pack_scene(scene, bvh)
+        traverse_fn = lambda o, d: intersect_packed_scene(packed, o, d)
 
     P, R = rays.num_pulses, rays.rays_per_pulse
     max_returns = cfg.max_returns

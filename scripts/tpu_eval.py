@@ -47,8 +47,7 @@ def main():
           f"{jax.default_backend()}", flush=True)
 
     from bench import build_workload
-    from lidar_brdf_tpu.geom.packet import intersect_packed, pack_bvh, \
-        pack_triangles
+    from lidar_brdf_tpu.geom.packet import intersect_packed_scene, pack_scene
     from lidar_brdf_tpu.kernels.traverse_pallas import PallasTraverser
     from lidar_brdf_tpu.runtime.simulate import simulate_chunk
 
@@ -60,13 +59,13 @@ def main():
     n_rays = pulses * rpp
 
     # 2. XLA packet traversal
-    nodes = jnp.asarray(np.asarray(pack_bvh(bvh)))
-    tris = jnp.asarray(np.asarray(pack_triangles(scene)))
+    packed = pack_scene(jax.tree.map(jnp.asarray, scene),
+                        jax.tree.map(jnp.asarray, bvh))
     o = jnp.asarray(rays.origin)
     d = jnp.asarray(rays.direction)
     xla_t = timed("XLA packet traverse",
-                  jax.jit(lambda o, d: intersect_packed(nodes, tris, o, d).t),
-                  o, d)
+                  jax.jit(lambda o, d: intersect_packed_scene(
+                      packed, o, d).t), o, d)
     print(f"  -> {n_rays/xla_t/1e6:.2f} M rays/s", flush=True)
 
     # 3. Pallas traversal
