@@ -81,7 +81,8 @@ def main():
     wd.start()
     import jax
     import jax.numpy as jnp
-    from lidar_brdf_tpu.runtime.simulate import simulate_chunk
+    from lidar_brdf_tpu.geom.beamcull import CulledTraverser
+    from lidar_brdf_tpu.runtime.simulate import bsp_order, simulate_chunk
 
     num_pulses = int(os.environ.get("BENCH_PULSES", 131072))
     rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE", 10))
@@ -90,20 +91,36 @@ def main():
     t_start = time.perf_counter()
     scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
         num_pulses, rays_per_pulse)
+    # Beam-culled traversal prep (host, once per scan — reused every step):
+    # BSP-order pulses into coherent tiles, collect per-tile candidates.
+    block_pulses = max(1, 640 // rays_per_pulse)
+    rays = bsp_order(rays, block_pulses)
+    traverser = CulledTraverser(scene,
+                                tile_rays=block_pulses * rays_per_pulse,
+                                chunk=128)
+    buckets = traverser.build_buckets(
+        bvh, np.asarray(rays.origin), np.asarray(rays.direction),
+        t_max=float(cfg.max_range) * 1.2)
     print(f"# workload built in {time.perf_counter()-t_start:.1f}s "
           f"({scene.num_faces} faces)", file=sys.stderr, flush=True)
     total_rays = rays.num_pulses * rays.rays_per_pulse
 
-    def loss_fn(table, scene, bvh, materials, rays, noise, scalars):
+    def loss_fn(table, scene, bvh, materials, rays, noise, scalars, buckets):
         mats = materials.__class__(**{**materials.__dict__,
                                       "brdf_table": table})
         cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
-                               scene_has_water=False)
+                               scene_has_water=False, traverse_fn=traverser,
+                               traverse_data=buckets)
         return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
 
     fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
 
-    args = (materials.brdf_table, scene, bvh, materials, rays, noise, scalars)
+    # device-resident args: steady-state training steps do not re-upload
+    # the scene/rays every iteration (host->device transfer is not the
+    # metric — the reference's timing harness also excludes uploads,
+    # `PipelineMetrics` brackets kernels only, LiDARSimulation.cpp:479-611)
+    args = jax.device_put((materials.brdf_table, scene, bvh, materials,
+                           rays, noise, scalars, buckets))
     # warm-up / compile
     t0 = time.perf_counter()
     loss, g = fwd_bwd(*args)

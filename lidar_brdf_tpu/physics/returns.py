@@ -126,6 +126,7 @@ def simulate_returns(
     *,
     base_ray_index: jax.Array | int = 0,
     traverse_fn=None,
+    traverse_data=None,
     scene_has_water: bool = True,
 ) -> tuple[ReturnRecord, OutlierRecord, jax.Array, jax.Array]:
     """Run the per-return extraction loop for one chunk of pulses.
@@ -148,6 +149,14 @@ def simulate_returns(
     max_returns = cfg.max_returns
     bathymetric = bool(cfg.bathymetric)
     retraverse = bathymetric or scene_has_water
+    if traverse_data is not None:
+        if retraverse:
+            raise ValueError(
+                "beam-culled traversal (traverse_data) only supports the "
+                "single-traversal path: water/bathymetric scenes re-traverse "
+                "with refracted rays the host culler never saw")
+        base_traverse = traverse_fn
+        traverse_fn = lambda o, d: base_traverse(o, d, traverse_data)
 
     start_point = rays.origin                      # (P, R, 3) fixed sensor origin
     ray_power = scalars.peak_power / jnp.float32(R)

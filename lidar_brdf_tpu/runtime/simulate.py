@@ -46,6 +46,20 @@ def coherent_order(rays: RayBundle) -> RayBundle:
     return jax.tree.map(lambda a: np.asarray(a)[order], rays)
 
 
+def bsp_order(rays: RayBundle, block_pulses: int = 64) -> RayBundle:
+    """Permute pulses into contiguous blocks with small angular/spatial
+    extent by recursive median split (no Morton code-space discontinuities —
+    every block is a real cluster, so beam-culling tiles stay narrow).
+    Point clouds are order-free, so no un-permutation is needed."""
+    from ..geom.beamcull import bsp_order_np
+    o = np.asarray(rays.origin)[:, 0, :]
+    d = np.asarray(rays.direction)[:, 0, :]
+    o_ext = max(float((o.max(axis=0) - o.min(axis=0)).max()), 1e-9)
+    feat = np.concatenate([d, (o - o.min(axis=0)) * (2.0 / o_ext)], axis=1)
+    order = bsp_order_np(feat, block_pulses)
+    return jax.tree.map(lambda a: np.asarray(a)[order], rays)
+
+
 def records_to_pointcloud(scene: TriangleScene, records: ReturnRecord,
                           outliers: OutlierRecord, num_returns: jax.Array,
                           intensity: jax.Array,
@@ -100,12 +114,12 @@ def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
                    rays: RayBundle, noise_buf: jax.Array,
                    scalars: SimScalars, cfg: SensorConfig, *,
                    base_ray_index=0, scene_has_water: bool = True,
-                   traverse_fn=None) -> PointCloud:
+                   traverse_fn=None, traverse_data=None) -> PointCloud:
     """Full differentiable forward pass for one chunk of pulses."""
     records, outliers, num_returns, final_origin = simulate_returns(
         scene, bvh, materials, rays, noise_buf, scalars, cfg,
         base_ray_index=base_ray_index, traverse_fn=traverse_fn,
-        scene_has_water=scene_has_water)
+        traverse_data=traverse_data, scene_has_water=scene_has_water)
     # winner origins after the bounce loop (reference shading reads final
     # rayData, `computeColor-comp.glsl:88,96`)
     L, P = records.mask.shape
@@ -126,6 +140,16 @@ class Simulator:
     ``simulator(rays)`` accepts any number of pulses; pulses are processed
     in ``cfg.chunk_pulses`` slices (padded to a static shape) and results
     concatenated on host.
+
+    Traversal strategy (fastest first):
+      * beam-culled dense intersection (`geom/beamcull.py`) — default for
+        water-free scenes: pulses are BSP-reordered into coherent blocks
+        (point clouds are order-free), per-chunk candidate lists are built
+        on the host, and the device does pure dense vector math.
+      * packet traversal (`geom/packet.py`) — water/bathymetric scenes
+        (refracted re-traversals need the full tree) and explicit opt-out.
+      * Pallas kernel — explicit opt-in via ``use_pallas`` (interpret mode
+        on CPU).
     """
 
     scene: TriangleScene
@@ -133,16 +157,23 @@ class Simulator:
     materials: MaterialTable
     cfg: SensorConfig
     traverse_fn: object = None
-    use_pallas: bool | None = None   # None = auto (TPU + scene fits VMEM)
+    use_pallas: bool | None = None    # explicit opt-in only
+    use_culled: bool | None = None    # None = auto (water-free scenes)
+    reorder: bool | None = None       # None = auto (when culled is active)
 
     def __post_init__(self):
-        if self.traverse_fn is None and self._pick_pallas():
+        self.scene_has_water = bool(
+            (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
+        if self.traverse_fn is None and self.use_pallas:
             from ..kernels.traverse_pallas import PallasTraverser
             interpret = jax.default_backend() == "cpu"
             self.traverse_fn = PallasTraverser(self.scene, self.bvh,
                                                interpret=interpret)
-        self.scene_has_water = bool(
-            (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
+        self._culled_active = (
+            self.use_culled is not False
+            and self.traverse_fn is None
+            and not self.scene_has_water
+            and not self.cfg.bathymetric)
         scene_min_y = float(np.asarray(self.scene.vertices)[:, 1].min())
         self.scalars = SimScalars.from_config(self.cfg, scene_min_y)
         key = jax.random.PRNGKey(self.cfg.seed)
@@ -153,16 +184,28 @@ class Simulator:
                 scene_has_water=self.scene_has_water,
                 traverse_fn=self.traverse_fn),
             static_argnames=())
+        if self._culled_active:
+            from ..geom.beamcull import CulledTraverser
+            rpp = max(self.cfg.rays_per_pulse, 1)
+            self.block_pulses = max(1, 640 // rpp)
+            self._culler = CulledTraverser(
+                self.scene, tile_rays=self.block_pulses * rpp, chunk=128)
+            self._jitted_culled = jax.jit(
+                functools.partial(
+                    simulate_chunk, cfg=self.cfg, scene_has_water=False,
+                    traverse_fn=self._culler),
+                static_argnames=())
+            b0, b1 = self.cfg.max_range_soft_boundary
+            self._t_max = float(self.cfg.max_range
+                                + abs(b0) + abs(b1) + 1.0)
 
-    def _pick_pallas(self) -> bool:
-        from ..kernels.traverse_pallas import vmem_capacity_faces
-        fits = self.scene.faces.shape[0] <= vmem_capacity_faces()
-        if self.use_pallas is not None:
-            return self.use_pallas and fits
-        # the axon plugin reports its own platform name for the TPU tunnel
-        return jax.default_backend() in ("tpu", "axon") and fits
-
-    def run_chunk(self, rays: RayBundle, base_ray_index=0) -> PointCloud:
+    def run_chunk(self, rays: RayBundle, base_ray_index=0,
+                  traverse_data=None) -> PointCloud:
+        if traverse_data is not None:
+            return self._jitted_culled(
+                self.scene, self.bvh, self.materials, rays, self.noise_buf,
+                self.scalars, base_ray_index=base_ray_index,
+                traverse_data=traverse_data)
         return self._jitted(self.scene, self.bvh, self.materials, rays,
                             self.noise_buf, self.scalars,
                             base_ray_index=base_ray_index)
@@ -172,8 +215,13 @@ class Simulator:
         """Chunked execution over all pulses; host-side concat + compact.
 
         With ``checkpoint_dir``, finished chunks are persisted and a
-        restarted run resumes after the last completed chunk.
+        restarted run resumes after the last completed chunk.  When the
+        beam-culled path is active, pulses are processed in BSP order
+        (reproducible; affects which noise-stream value each pulse draws,
+        not the distribution — the output PointCloud is order-free).
         """
+        if self._culled_active and self.reorder is not False:
+            rays = bsp_order(rays, self.block_pulses)
         P = rays.num_pulses
         chunk = min(self.cfg.chunk_pulses, P)
         ckpt = None
@@ -207,19 +255,31 @@ class Simulator:
             # out naturally.
             sl = RayBundle(
                 origin=jnp.concatenate(
-                    [sl.origin,
+                    [jnp.asarray(sl.origin),
                      jnp.full((pad,) + sl.origin.shape[1:], 1e10,
                               sl.origin.dtype)]),
                 direction=jnp.concatenate(
-                    [sl.direction,
+                    [jnp.asarray(sl.direction),
                      jnp.zeros((pad,) + sl.direction.shape[1:],
                                sl.direction.dtype)]),
                 gps_time=jnp.concatenate(
-                    [sl.gps_time, jnp.zeros(pad, sl.gps_time.dtype)]),
+                    [jnp.asarray(sl.gps_time),
+                     jnp.zeros(pad, jnp.asarray(sl.gps_time).dtype)]),
             )
+        traverse_data = None
+        if self._culled_active:
+            o_np = np.asarray(sl.origin)
+            d_np = np.asarray(sl.direction)
+            if self._culler.beams_ok(o_np, d_np):
+                buckets = self._culler.build_buckets(
+                    self.bvh, o_np, d_np, t_max=self._t_max)
+                traverse_data = tuple(
+                    (jnp.asarray(t), jnp.asarray(c)) for t, c in buckets)
+            # else: wide beams (incoherent rays) — packet fallback
         if metrics is not None:
             with metrics.stage("TOTAL") as m:
-                cloud = self.run_chunk(sl, lo * rays.rays_per_pulse)
+                cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
+                                       traverse_data)
                 m["sync"] = cloud.intensity
             return cloud
-        return self.run_chunk(sl, lo * rays.rays_per_pulse)
+        return self.run_chunk(sl, lo * rays.rays_per_pulse, traverse_data)
