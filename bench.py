@@ -105,15 +105,18 @@ def main():
           f"({scene.num_faces} faces)", file=sys.stderr, flush=True)
     total_rays = rays.num_pulses * rays.rays_per_pulse
 
-    def loss_fn(table, scene, bvh, materials, rays, noise, scalars, buckets):
+    def loss_fn(table, origin, scene, bvh, materials, rays, noise, scalars,
+                buckets):
         mats = materials.__class__(**{**materials.__dict__,
                                       "brdf_table": table})
+        rays = rays.__class__(origin=origin, direction=rays.direction,
+                              gps_time=rays.gps_time)
         cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
                                scene_has_water=False, traverse_fn=traverser,
                                traverse_data=buckets)
         return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
 
-    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+    grad_fn = jax.value_and_grad(loss_fn)
 
     # device-resident args: steady-state training steps do not re-upload
     # the scene/rays every iteration (host->device transfer is not the
@@ -121,18 +124,39 @@ def main():
     # `PipelineMetrics` brackets kernels only, LiDARSimulation.cpp:479-611)
     args = jax.device_put((materials.brdf_table, scene, bvh, materials,
                            rays, noise, scalars, buckets))
+
+    # The timing loop lives INSIDE one jit: a fori_loop whose carry chains
+    # the gradient back into the table.  One dispatch, one host round-trip,
+    # serially-dependent steps — immune to host/tunnel dispatch latency and
+    # to async-readiness misreporting (both observed through the TPU
+    # tunnel), and it is exactly a steady-state inverse-rendering loop.
+    def train_steps(n, table, *rest):
+        def body(_, carry):
+            t, origin, acc = carry
+            loss, g = grad_fn(t, origin, *rest)
+            # 1e-30 (not 0.0): keeps the gradient live through XLA's
+            # algebraic simplifier while leaving the values numerically
+            # unchanged (f32 underflow).  Chaining the ray origins into the
+            # carry keeps the traversal INSIDE the loop — otherwise XLA
+            # hoists everything that does not depend on the table and the
+            # loop only measures shading.
+            return (t + 1e-30 * g, origin + 1e-30 * loss, acc + loss)
+        rays_ = rest[3]
+        return jax.lax.fori_loop(
+            0, n, body, (table, rays_.origin, jnp.float32(0.0)))
+
+    stepper = jax.jit(train_steps)   # n dynamic: one compile for any iters
+
     # warm-up / compile
     t0 = time.perf_counter()
-    loss, g = fwd_bwd(*args)
-    loss.block_until_ready()
+    *_, warm = stepper(1, *args)
+    _ = float(warm)
     print(f"# compile+first step {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, g = fwd_bwd(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), g)
-    loss.block_until_ready()
+    *_, acc = stepper(iters, *args)
+    _ = float(acc)            # value fetch forces completion
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = total_rays / dt

@@ -96,18 +96,32 @@ def lookup_hermite(tables, mat_id, x, y, hermite: jnp.ndarray):
     1-D cardinal spline along x at the base row, plus one along y at the base
     column, summed.  x neighbours wrap mod 360; y neighbours clamp to
     [0, 90].
+
+    Both 4-point neighbourhoods are fetched as (N, 4) flat element gathers
+    (two gather ops instead of eight).  NOTE: keep these in element mode —
+    a slice-mode lax.gather is faster forward but its VJP is a slice-mode
+    scatter-add that Mosaic lowers to a ~500 ms serial while-loop.
     """
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     xf = x - x0f
     yf = y - y0f
-    xi = x0f.astype(jnp.int32)
-    yi = y0f.astype(jnp.int32)
-    xs = [jnp.mod(xi + k - 1, PHI_BUCKETS) for k in range(4)]
-    ys = [jnp.clip(yi + k - 1, 0, THETA_BUCKETS - 1) for k in range(4)]
+    xi = jnp.mod(x0f.astype(jnp.int32), PHI_BUCKETS)
+    yi = jnp.clip(y0f.astype(jnp.int32), 0, THETA_BUCKETS - 1)
+    mat = jnp.broadcast_to(jnp.asarray(mat_id, jnp.int32), xi.shape)
 
-    rx = jnp.stack([_gather(tables, mat_id, xs[k], ys[0]) for k in range(4)], -1)
-    ry = jnp.stack([_gather(tables, mat_id, xs[0], ys[k]) for k in range(4)], -1)
+    # The reference evaluates the x-spline along row ys[0] = clip(yi-1) and
+    # the y-spline along column xs[0] = (xi-1) mod 360 (:52-59).
+    x_col = jnp.mod(xi - 1, PHI_BUCKETS)
+    y_row = jnp.clip(yi - 1, 0, THETA_BUCKETS - 1)
+
+    flat = tables.reshape(-1)
+    k = jnp.arange(4, dtype=jnp.int32)
+    xs_k = jnp.mod(xi[..., None] + k - 1, PHI_BUCKETS)
+    ys_k = jnp.clip(yi[..., None] + k - 1, 0, THETA_BUCKETS - 1)
+    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
+    rx = flat[(base + y_row)[..., None] + xs_k * THETA_BUCKETS]
+    ry = flat[(base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k]
 
     cx = rx @ hermite.T      # (..., 4) coefficients a,b,c,d along x
     cy = ry @ hermite.T

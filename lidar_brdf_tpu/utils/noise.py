@@ -53,3 +53,42 @@ def sample(buffer: jax.Array, index, offset) -> jax.Array:
     size = buffer.shape[0]
     idx = (index.astype(jnp.uint32) + jnp.uint32(offset)) % jnp.uint32(size)
     return buffer[idx]
+
+
+# ---------------------------------------------------------------------------
+# Interleaved sim-noise streams.
+#
+# The reference separates noise "purposes" by adding large offsets into one
+# flat buffer (`reduceCollisions-comp.glsl` uses distinct bases per use).
+# Separate offsets mean separate gathers, and TPU gathers cost ~10 ns per
+# gathered *slice* regardless of its width — so we lay the purposes out as
+# columns instead: stream k for index i lives at row (i % rows), column k.
+# All streams of one index are then a single row-gather.
+# ---------------------------------------------------------------------------
+
+NUM_STREAMS = 16
+DISTANCE_STREAM = 0        # noisy max-range cut
+LOSS_STREAM = 1            # per-return loss probability
+POINT_STREAM = 2           # shiny error, per point
+TERRAIN_V_STREAM = 3       # terrain vertical error
+TERRAIN_H_STREAM = 4       # terrain horizontal error
+AXIS_X_STREAM = 5          # terrain horizontal axis x
+AXIS_Z_STREAM = 6          # terrain horizontal axis z
+OUTLIER_STREAM = 7         # addOutlier probability
+OUTLIER_DISTANCE_STREAM = 8
+MODEL_COMP_STREAM = 9      # shiny error, per component
+
+
+def stream_rows(buffer: jax.Array, index) -> jax.Array:
+    """(index.shape, NUM_STREAMS) — all noise streams for each index in one
+    row gather."""
+    rows = buffer.shape[0] // NUM_STREAMS
+    view = buffer[:rows * NUM_STREAMS].reshape(rows, NUM_STREAMS)
+    return view[index.astype(jnp.uint32) % jnp.uint32(rows)]
+
+
+def stream_sample(buffer: jax.Array, index, stream: int) -> jax.Array:
+    """Single-stream read with the same layout as `stream_rows`."""
+    rows = buffer.shape[0] // NUM_STREAMS
+    view = buffer[:rows * NUM_STREAMS].reshape(rows, NUM_STREAMS)
+    return view[index.astype(jnp.uint32) % jnp.uint32(rows), stream]
