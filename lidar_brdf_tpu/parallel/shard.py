@@ -50,23 +50,85 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+def build_sharded_buckets(traverser, bvh, rays: RayBundle, mesh: Mesh,
+                          t_max: float | None = None):
+    """Per-device beam-culled candidate buckets, stacked on a device axis.
+
+    Pulses shard evenly over the mesh; each shard's buckets are built on the
+    host against its local rays (tile ids are shard-local).  Shards can
+    produce different bucket ladders, so all shards are normalized to the
+    union ladder (missing buckets become a single dummy tile) and padded to
+    common tile counts.  Returns a tuple of (tile_idx (D, B), cand (D, B, C))
+    pairs ready to shard with `P(RAY_AXIS)` on axis 0.
+    """
+    import numpy as np
+    n_dev = mesh.devices.size
+    P_total = rays.num_pulses
+    if P_total % n_dev:
+        raise ValueError(f"{P_total} pulses not divisible by {n_dev} devices")
+    per = P_total // n_dev
+    origin = np.asarray(rays.origin)
+    direction = np.asarray(rays.direction)
+    shard_buckets = []
+    for d in range(n_dev):
+        sl = slice(d * per, (d + 1) * per)
+        shard_buckets.append(dict(
+            (cand.shape[1], (tidx, cand))
+            for tidx, cand in traverser.build_buckets(
+                bvh, origin[sl], direction[sl], t_max=t_max)))
+    n_tiles = (per * rays.rays_per_pulse
+               + traverser.tile_rays - 1) // traverser.tile_rays
+    ladder = sorted({c for sb in shard_buckets for c in sb})
+    out = []
+    for C in ladder:
+        B = max(sb[C][0].shape[0] if C in sb else 1 for sb in shard_buckets)
+        tidx = np.full((n_dev, B), n_tiles, np.int32)
+        cand = np.full((n_dev, B, C), -1, np.int32)
+        for d, sb in enumerate(shard_buckets):
+            if C in sb:
+                t, c = sb[C]
+                tidx[d, :t.shape[0]] = t
+                cand[d, :c.shape[0]] = c
+        out.append((tidx, cand))
+    return tuple(out)
+
+
+def shard_buckets_put(buckets, mesh: Mesh):
+    """Device-put stacked buckets with the device axis sharded."""
+    sh = NamedSharding(mesh, P(RAY_AXIS))
+    return tuple((jax.device_put(t, sh), jax.device_put(c, sh))
+                 for t, c in buckets)
+
+
+def _local_buckets(buckets):
+    """Inside shard_map: drop the (length-1) device axis."""
+    return tuple((t[0], c[0]) for t, c in buckets)
+
+
 def sharded_forward(mesh: Mesh, cfg: SensorConfig, *, scene_has_water=False,
                     traverse_fn=None):
     """Build a jitted sharded forward pass: PointCloud sharded over pulses."""
 
     @functools.partial(jax.jit)
-    def fwd(scene, bvh, materials, rays, noise_buf, scalars):
-        def local(scene, bvh, materials, rays, noise_buf, scalars):
+    def fwd(scene, bvh, materials, rays, noise_buf, scalars, buckets=None):
+        def local(scene, bvh, materials, rays, noise_buf, scalars, *bleaves):
+            data = None
+            if bleaves:
+                data = _local_buckets(
+                    tuple(zip(bleaves[0::2], bleaves[1::2])))
             return simulate_chunk(scene, bvh, materials, rays, noise_buf,
                                   scalars, cfg,
                                   scene_has_water=scene_has_water,
-                                  traverse_fn=traverse_fn)
+                                  traverse_fn=traverse_fn,
+                                  traverse_data=data)
+        bleaves = tuple(a for pair in (buckets or ()) for a in pair)
         return shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P()),
+            in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P())
+            + (P(RAY_AXIS),) * len(bleaves),
             out_specs=P(RAY_AXIS),
             check_vma=False,
-        )(scene, bvh, materials, rays, noise_buf, scalars)
+        )(scene, bvh, materials, rays, noise_buf, scalars, *bleaves)
 
     return fwd
 
@@ -97,25 +159,34 @@ def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
     """
 
     @jax.jit
-    def step(scene, bvh, materials, rays, noise_buf, scalars, target):
+    def step(scene, bvh, materials, rays, noise_buf, scalars, target,
+             buckets=None):
+        bleaves = tuple(a for pair in (buckets or ()) for a in pair)
+
         def loss_leaves(leaves):
             mats = _with_float_leaves(materials, leaves)
 
-            def local(scene, bvh, mats, rays, noise_buf, scalars, target):
+            def local(scene, bvh, mats, rays, noise_buf, scalars, target,
+                      *bl):
+                data = None
+                if bl:
+                    data = _local_buckets(tuple(zip(bl[0::2], bl[1::2])))
                 cloud = simulate_chunk(scene, bvh, mats, rays, noise_buf,
                                        scalars, cfg,
                                        scene_has_water=scene_has_water,
-                                       traverse_fn=traverse_fn)
+                                       traverse_fn=traverse_fn,
+                                       traverse_data=data)
                 pred = jnp.where(cloud.mask, cloud.intensity, 0.0)
                 local_loss = jnp.sum((pred - target) ** 2)
                 return jax.lax.psum(local_loss, RAY_AXIS)
 
             return shard_map(
                 local, mesh=mesh,
-                in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P(), P(RAY_AXIS)),
+                in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P(), P(RAY_AXIS))
+                + (P(RAY_AXIS),) * len(bleaves),
                 out_specs=P(),
                 check_vma=False,
-            )(scene, bvh, mats, rays, noise_buf, scalars, target)
+            )(scene, bvh, mats, rays, noise_buf, scalars, target, *bleaves)
 
         leaves = _float_leaves(materials)
         loss, grads = jax.value_and_grad(loss_leaves)(leaves)
