@@ -81,7 +81,7 @@ def main():
     wd.start()
     import jax
     import jax.numpy as jnp
-    from lidar_brdf_tpu.geom.beamcull import CulledTraverser
+    from lidar_brdf_tpu.kernels.traverse_pallas import PallasCulledTraverser
     from lidar_brdf_tpu.runtime.simulate import bsp_order, simulate_chunk
 
     num_pulses = int(os.environ.get("BENCH_PULSES", 131072))
@@ -95,10 +95,10 @@ def main():
     # BSP-order pulses into coherent tiles, collect per-tile candidates.
     block_pulses = max(1, 640 // rays_per_pulse)
     rays = bsp_order(rays, block_pulses)
-    traverser = CulledTraverser(scene,
-                                tile_rays=block_pulses * rays_per_pulse,
-                                chunk=128)
-    buckets = traverser.build_buckets(
+    traverser = PallasCulledTraverser(
+        scene, tile_rays=block_pulses * rays_per_pulse,
+        interpret=jax.default_backend() == "cpu")
+    buckets = traverser.prepare(
         bvh, np.asarray(rays.origin), np.asarray(rays.direction),
         t_max=float(cfg.max_range) * 1.2)
     print(f"# workload built in {time.perf_counter()-t_start:.1f}s "

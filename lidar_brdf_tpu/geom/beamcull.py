@@ -464,6 +464,11 @@ class CulledTraverser:
         o, d = self._pad_np(origin, direction)
         return beams_are_narrow(tile_beams(o, d, self.tile_rays))
 
+    def prepare(self, bvh: BVH, origin, direction,
+                t_max: float | None = None):
+        """One-call host prep: traverse_data for `__call__` (bucket tuple)."""
+        return self.build_buckets(bvh, origin, direction, t_max=t_max)
+
     def __call__(self, origin, direction, traverse_data) -> Hit:
         shape = origin.shape[:-1]
         o = jax.lax.stop_gradient(origin.reshape(-1, 3))

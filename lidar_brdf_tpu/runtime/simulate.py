@@ -164,13 +164,11 @@ class Simulator:
     def __post_init__(self):
         self.scene_has_water = bool(
             (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
-        if self.traverse_fn is None and self.use_pallas:
-            from ..kernels.traverse_pallas import PallasTraverser
-            interpret = jax.default_backend() == "cpu"
-            self.traverse_fn = PallasTraverser(self.scene, self.bvh,
-                                               interpret=interpret)
+        # `use_pallas` now selects the Pallas *culled* kernel explicitly
+        # (the only Pallas path; the old per-node walker could not compile
+        # on real TPUs).  It shares the culled-traversal machinery below.
         self._culled_active = (
-            self.use_culled is not False
+            (self.use_culled is not False or self.use_pallas)
             and self.traverse_fn is None
             and not self.scene_has_water
             and not self.cfg.bathymetric)
@@ -185,11 +183,26 @@ class Simulator:
                 traverse_fn=self.traverse_fn),
             static_argnames=())
         if self._culled_active:
-            from ..geom.beamcull import CulledTraverser
             rpp = max(self.cfg.rays_per_pulse, 1)
-            self.block_pulses = max(1, 640 // rpp)
-            self._culler = CulledTraverser(
-                self.scene, tile_rays=self.block_pulses * rpp, chunk=128)
+            # Pallas kernel on real TPU (the axon plugin names the tunnel
+            # backend after itself); XLA dense path elsewhere.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            pick_pallas = (self.use_pallas if self.use_pallas is not None
+                           else on_tpu)
+            if pick_pallas:
+                import math
+                from ..kernels.traverse_pallas import PallasCulledTraverser
+                step = 128 // math.gcd(128, rpp)     # tile_rays % 128 == 0
+                bp0 = max(1, 640 // rpp)
+                self.block_pulses = ((bp0 + step - 1) // step) * step
+                self._culler = PallasCulledTraverser(
+                    self.scene, tile_rays=self.block_pulses * rpp,
+                    interpret=not on_tpu)
+            else:
+                from ..geom.beamcull import CulledTraverser
+                self.block_pulses = max(1, 640 // rpp)
+                self._culler = CulledTraverser(
+                    self.scene, tile_rays=self.block_pulses * rpp, chunk=128)
             self._jitted_culled = jax.jit(
                 functools.partial(
                     simulate_chunk, cfg=self.cfg, scene_has_water=False,
@@ -271,10 +284,8 @@ class Simulator:
             o_np = np.asarray(sl.origin)
             d_np = np.asarray(sl.direction)
             if self._culler.beams_ok(o_np, d_np):
-                buckets = self._culler.build_buckets(
+                traverse_data = self._culler.prepare(
                     self.bvh, o_np, d_np, t_max=self._t_max)
-                traverse_data = tuple(
-                    (jnp.asarray(t), jnp.asarray(c)) for t, c in buckets)
             # else: wide beams (incoherent rays) — packet fallback
         if metrics is not None:
             with metrics.stage("TOTAL") as m:

@@ -48,7 +48,7 @@ def main():
 
     from bench import build_workload
     from lidar_brdf_tpu.geom.packet import intersect_packed_scene, pack_scene
-    from lidar_brdf_tpu.kernels.traverse_pallas import PallasTraverser
+    from lidar_brdf_tpu.kernels.traverse_pallas import PallasCulledTraverser
     from lidar_brdf_tpu.runtime.simulate import simulate_chunk
 
     t0 = time.perf_counter()
@@ -68,15 +68,24 @@ def main():
                       packed, o, d).t), o, d)
     print(f"  -> {n_rays/xla_t/1e6:.2f} M rays/s", flush=True)
 
-    # 3. Pallas traversal
+    # 3. Pallas beam-culled traversal
     try:
-        trav = PallasTraverser(scene, bvh)
-        pl_t = timed("Pallas packet traverse",
-                     jax.jit(lambda o, d: trav(o, d).t), o, d)
+        from lidar_brdf_tpu.runtime.simulate import bsp_order
+        r_ord = bsp_order(rays, block_pulses=max(1, 640 // rpp))
+        o = jnp.asarray(r_ord.origin)
+        d = jnp.asarray(r_ord.direction)
+        trav = PallasCulledTraverser(scene, tile_rays=640)
+        data = jax.device_put(trav.prepare(
+            bvh, np.asarray(r_ord.origin), np.asarray(r_ord.direction),
+            t_max=float(cfg.max_range) * 1.2))
+        pl_t = timed("Pallas culled traverse",
+                     jax.jit(lambda o, d: trav(o, d, data).t), o, d)
         print(f"  -> {n_rays/pl_t/1e6:.2f} M rays/s", flush=True)
+        rays = r_ord
     except Exception as e:  # noqa: BLE001
         print("Pallas traversal FAILED:", repr(e)[:500], flush=True)
         trav = None
+        data = None
 
     # 4. full forward
     fwd = jax.jit(functools.partial(simulate_chunk, cfg=cfg,
@@ -88,7 +97,7 @@ def main():
     if trav is not None:
         fwd_p = jax.jit(functools.partial(
             simulate_chunk, cfg=cfg, scene_has_water=False,
-            traverse_fn=trav))
+            traverse_fn=trav, traverse_data=data))
         fp_t = timed("simulate_chunk fwd (Pallas)", fwd_p,
                      scene, bvh, materials, rays, noise, scalars)
         print(f"  -> {n_rays/fp_t/1e6:.2f} M rays/s", flush=True)

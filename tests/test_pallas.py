@@ -1,65 +1,99 @@
-"""Pallas packet-traversal kernel: interpreter-mode correctness
-(SURVEY.md §4: interpreter-mode Pallas checks on CPU)."""
+"""Pallas culled-intersection kernel (interpret mode) vs oracle.
+
+The kernel itself is exercised on hardware by bench.py; here the interpreter
+validates semantics on the CPU mesh (SURVEY.md §4: interpreter-mode Pallas
+checks).
+"""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
+from conftest import make_random_scene
 from lidar_brdf_tpu.geom import bvh as bvh_mod
 from lidar_brdf_tpu.geom.intersect import intersect_brute
 from lidar_brdf_tpu.io import synthetic
-from lidar_brdf_tpu.kernels.traverse_pallas import (PallasTraverser, TILE,
-                                                    vmem_capacity_faces)
+from lidar_brdf_tpu.kernels.traverse_pallas import (CAND_BLOCK, LANES,
+                                                    PallasCulledTraverser)
 
 
-@pytest.fixture(scope="module")
-def scene_and_tree():
-    rng = np.random.default_rng(11)
-    scene = synthetic.terrain_with_boxes(rng, num_boxes=10)
+def _fan_rays(n_side=16):
+    o0 = np.array([0.0, 9.0, 0.0], np.float32)
+    az = np.linspace(0, 2 * np.pi, n_side, endpoint=False)
+    el = np.linspace(-1.2, -0.2, n_side)
+    aa, ee = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(ee) * np.cos(aa), np.sin(ee),
+                  np.cos(ee) * np.sin(aa)], -1).reshape(-1, 3)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    return np.broadcast_to(o0, d.shape).copy(), d
+
+
+def test_pallas_culled_matches_brute(rng):
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
     tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
                              np.asarray(scene.faces))
-    return scene, tree
+    o, d = _fan_rays()
+    tr = PallasCulledTraverser(scene, tile_rays=LANES, interpret=True)
+    data = tr.prepare(tree, o, d, t_max=500.0)
+    hit = tr(jnp.asarray(o), jnp.asarray(d), data)
+    brute = intersect_brute(scene, jnp.asarray(o), jnp.asarray(d))
+    hc = np.asarray(hit.face) >= 0
+    hb = np.asarray(brute.face) >= 0
+    assert (hc == hb).all()
+    np.testing.assert_allclose(np.asarray(hit.t)[hc],
+                               np.asarray(brute.t)[hb],
+                               rtol=1e-4, atol=1e-4)
 
 
-def _rays(n, spread=30.0):
-    xs = np.linspace(-spread, spread, n).astype(np.float32)
-    o = np.stack([xs, np.full(n, 50.0), xs * 0.3], -1)
-    d = np.tile(np.array([[0.01, -1.0, 0.02]], np.float32), (n, 1))
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    return jnp.asarray(o), jnp.asarray(d)
+def test_pallas_t_max_cut(rng):
+    # hits beyond the declared t_max are misses (documented contract)
+    verts = np.array([[-1, -1, 50], [1, -1, 50], [0, 1, 50]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    scene = synthetic.scene_from_arrays(verts, faces)
+    tree = bvh_mod.build_bvh(verts, faces)
+    o = np.zeros((LANES, 3), np.float32)
+    d = np.tile(np.array([0, 0, 1], np.float32), (LANES, 1))
+    tr = PallasCulledTraverser(scene, tile_rays=LANES, interpret=True)
+    hit_far = tr(jnp.asarray(o), jnp.asarray(d),
+                 tr.prepare(tree, o, d, t_max=100.0))
+    assert (np.asarray(hit_far.face) == 0).all()
+    hit_near = tr(jnp.asarray(o), jnp.asarray(d),
+                  tr.prepare(tree, o, d, t_max=10.0))
+    assert (np.asarray(hit_near.face) == -1).all()
 
 
-def test_pallas_matches_oracle(scene_and_tree):
-    scene, tree = scene_and_tree
-    trav = PallasTraverser(scene, tree, interpret=True)
-    o, d = _rays(TILE)      # exactly one tile
-    hit = trav(o, d)
-    brute = intersect_brute(scene, o, d)
-    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(brute.t),
-                               rtol=1e-5, atol=1e-5)
-    both = np.asarray(brute.valid)
-    agree = np.asarray(hit.face)[both] == np.asarray(brute.face)[both]
-    assert agree.mean() > 0.99
-
-
-def test_pallas_partial_tile_padding(scene_and_tree):
-    scene, tree = scene_and_tree
-    trav = PallasTraverser(scene, tree, interpret=True)
-    o, d = _rays(100)       # forces padding to a full tile
-    hit = trav(o, d)
-    brute = intersect_brute(scene, o, d)
-    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(brute.t),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_pallas_rejects_oversized_scene():
-    rng = np.random.default_rng(0)
-    n = vmem_capacity_faces() + 10
-    # fake a big scene without allocating real geometry: check guard only
-    scene = synthetic.random_triangles(rng, num_tris=16)
-    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
-                             np.asarray(scene.faces))
-    big_faces = np.zeros((n, 3), np.int32)
-    fake = scene.__class__(**{**scene.__dict__, "faces": big_faces})
+def test_pallas_tile_rays_must_align():
+    scene = synthetic.terrain_with_boxes(np.random.default_rng(0), num_boxes=1)
     with pytest.raises(ValueError):
-        PallasTraverser(fake, tree)
+        PallasCulledTraverser(scene, tile_rays=100)
+
+
+def test_simulator_use_pallas_interpret(rng):
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode)
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.runtime.simulate import Simulator
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=4)
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 9.0, 0.0),
+        tls_fov_horizontal=360.0, tls_fov_vertical=60.0,
+        tls_middle_angle_vertical=-45.0,
+        tls_resolution_horizontal=32, tls_resolution_vertical=16,
+        rays_per_pulse=2, max_returns=1, chunk_pulses=512,
+        shading_mode=ShadingMode.MEASURED)
+    mats = MaterialLibrary.default().table_at(1064)
+    rays = build_rays(cfg, scene)
+    cloud_p = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                        use_pallas=True).run(rays)
+    cloud_x = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                        use_culled=False).run(rays)
+    # same number of valid returns; intensity multisets match
+    assert int(np.asarray(cloud_p.mask).sum()) \
+        == int(np.asarray(cloud_x.mask).sum())
+    ip = np.sort(np.asarray(cloud_p.intensity)[np.asarray(cloud_p.mask)])
+    ix = np.sort(np.asarray(cloud_x.intensity)[np.asarray(cloud_x.mask)])
+    np.testing.assert_allclose(ip, ix, rtol=1e-4, atol=1e-7)
