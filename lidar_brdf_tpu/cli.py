@@ -55,6 +55,9 @@ def cmd_simulate(args) -> int:
     print(f"scene: {scene.num_faces} faces, {scene.num_components} components",
           file=sys.stderr)
     library = MaterialLibrary.default(args.refractive_index_dir)
+    if args.brdf_dir:
+        # RGL/EPFL measured BRDFs (*.bsdf tensor files or database.npz)
+        library = library.with_measured(args.brdf_dir)
     t0 = time.perf_counter()
     clouds = simulate_spectral(scene, cfg, library)
     dt = time.perf_counter() - t0
@@ -100,6 +103,8 @@ def main(argv=None) -> int:
     ps.add_argument("--max-returns", type=int, dest="max_returns")
     ps.add_argument("--rays-pulse", type=int, dest="rays_pulse")
     ps.add_argument("--refractive-index-dir", dest="refractive_index_dir")
+    ps.add_argument("--brdf-dir", dest="brdf_dir",
+                    help="directory of RGL/EPFL *.bsdf measured BRDFs")
     ps.set_defaults(fn=cmd_simulate)
 
     pp = sub.add_parser("presets", help="list sensor presets")

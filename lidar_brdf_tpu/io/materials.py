@@ -195,6 +195,32 @@ class MaterialLibrary:
             tables=np.stack([synthetic_brdf_table(n) for n in MATERIAL_NAMES]),
         )
 
+    def with_measured(self, folder: str,
+                      reflectivity_map: dict[str, str] | None = None
+                      ) -> "MaterialLibrary":
+        """Replace synthetic tables with real RGL/EPFL measured BRDFs.
+
+        ``folder`` holds `*.bsdf` tensor files (or a prebuilt
+        `database.npz` cache); ``reflectivity_map`` maps our material names
+        to measured-material names — the reference's `Reflectivity.txt`
+        mapping (e.g. LEAF -> leaf_maple, `MaterialDatabase.cpp:69-99`).
+        Unmapped materials keep their synthetic tables.
+        """
+        from .rgl_bsdf import BRDFDatabase
+        db = BRDFDatabase(folder)
+        reflectivity_map = reflectivity_map or {}
+        W = len(db.wavelengths)
+        spectral = np.empty((W, len(self.names), 360, 91), np.float32)
+        spectral[:] = self.tables[None]
+        for i, name in enumerate(self.names):
+            measured = reflectivity_map.get(name, name)
+            if measured in db.names:
+                spectral[:, i] = db.tables[db.material_id(measured)]
+        import dataclasses
+        return dataclasses.replace(
+            self, table_wavelengths=np.asarray(db.wavelengths),
+            spectral_tables=spectral)
+
     def table_at(self, wavelength_nm: float) -> MaterialTable:
         """Materialize the GPU table for one wavelength: n(lambda)
         interpolation + nearest-wavelength table slice."""
