@@ -27,6 +27,8 @@ nearest hit wins.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 import jax
@@ -222,6 +224,15 @@ def _collect_candidates(bvh: BVH, beams: TileBeams, t_max: float | None):
         t_max = float(diag + far) + 1.0
     tan_half = np.sqrt(np.maximum(1.0 - beams.cos_half ** 2, 0.0)) \
         / beams.cos_half
+
+    # native C++ culler (OpenMP over tiles); numpy frontier as fallback
+    if not os.environ.get("LIDAR_BRDF_TPU_NO_NATIVE"):
+        from ..io.native import cull_candidates_native
+        res = cull_candidates_native(bvh, beams.center, beams.axis, tan_half,
+                                     beams.radius, beams.valid, t_max)
+        if res is not None:
+            tiles, faces_out, _, counts = res
+            return tiles, faces_out, counts
 
     # (tile, node) frontier BFS from the root
     live = beams.valid.nonzero()[0].astype(np.int64)

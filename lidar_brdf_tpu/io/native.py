@@ -66,6 +66,11 @@ def get_lib() -> ctypes.CDLL | None:
     lib.lbt_parse_obj_sizes.restype = ctypes.c_int
     lib.lbt_parse_obj_fill.argtypes = [f32p, i32p, i64p]
     lib.lbt_parse_obj_fill.restype = ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.lbt_cull.argtypes = [f32p, f32p, i32p, i32p, i64,
+                             f32p, f32p, f32p, f32p, u8p, i64,
+                             ctypes.c_float, i32p, i32p, f32p, i64]
+    lib.lbt_cull.restype = i64
     _lib = lib
     return _lib
 
@@ -113,3 +118,47 @@ def parse_obj_native(path: str):
                               comp_start) != 0:
         return None
     return verts, faces, comp_start
+
+
+def cull_candidates_native(bvh, center, axis, tan_half, radius, valid,
+                           t_max: float):
+    """Native per-tile beam culling.
+
+    Returns (tiles, faces, dnear, counts) in concatenated per-tile order
+    (near-to-far within each tile), or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    node_min = np.ascontiguousarray(bvh.node_min, np.float32)
+    node_max = np.ascontiguousarray(bvh.node_max, np.float32)
+    node_face = np.ascontiguousarray(bvh.node_face, np.int32)
+    node_skip = np.ascontiguousarray(bvh.node_skip, np.int32)
+    center = np.ascontiguousarray(center, np.float32)
+    axis = np.ascontiguousarray(axis, np.float32)
+    tan_half = np.ascontiguousarray(tan_half, np.float32)
+    radius = np.ascontiguousarray(radius, np.float32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    T = center.shape[0]
+    counts = np.empty(T, np.int32)
+    dummy_f = np.empty(1, np.int32)
+    dummy_d = np.empty(1, np.float32)
+    total = lib.lbt_cull(node_min.reshape(-1), node_max.reshape(-1),
+                         node_face, node_skip, len(node_face),
+                         center.reshape(-1), axis.reshape(-1), tan_half,
+                         radius, valid, T, float(t_max), counts,
+                         dummy_f, dummy_d, 0)
+    if total < 0:
+        return None
+    faces = np.empty(max(int(total), 1), np.int32)
+    dnear = np.empty(max(int(total), 1), np.float32)
+    total2 = lib.lbt_cull(node_min.reshape(-1), node_max.reshape(-1),
+                          node_face, node_skip, len(node_face),
+                          center.reshape(-1), axis.reshape(-1), tan_half,
+                          radius, valid, T, float(t_max), counts,
+                          faces, dnear, int(total))
+    if total2 != total:
+        return None
+    counts64 = counts.astype(np.int64)
+    tiles = np.repeat(np.arange(T, dtype=np.int64), counts64)
+    return tiles, faces[:total].astype(np.int64), dnear[:total], counts64

@@ -322,4 +322,140 @@ int lbt_parse_obj_fill(float* vertices, int32_t* faces,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Beam culling: per-tile candidate collection over the threaded LBVH.
+// Native half of geom/beamcull.py (same conservative beam/AABB test: grow
+// the box by the tile's origin radius, slab fast-accept along the axis,
+// otherwise ternary-search the convex gap dist(axis(s), box) - s*tan).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Beam {
+  V3 c, a;
+  float tan_half, radius;
+};
+
+static inline float beam_gap(const Beam& b, const V3& gmin, const V3& gmax,
+                             float s) {
+  V3 p = {b.c.x + s * b.a.x, b.c.y + s * b.a.y, b.c.z + s * b.a.z};
+  float qx = std::min(std::max(p.x, gmin.x), gmax.x) - p.x;
+  float qy = std::min(std::max(p.y, gmin.y), gmax.y) - p.y;
+  float qz = std::min(std::max(p.z, gmin.z), gmax.z) - p.z;
+  return std::sqrt(qx * qx + qy * qy + qz * qz) - s * b.tan_half;
+}
+
+static inline bool beam_box_overlap(const Beam& b, const float* bmin,
+                                    const float* bmax, float t_max) {
+  V3 gmin = {bmin[0] - b.radius, bmin[1] - b.radius, bmin[2] - b.radius};
+  V3 gmax = {bmax[0] + b.radius, bmax[1] + b.radius, bmax[2] + b.radius};
+  // slab fast-accept: axis ray passes through the grown box
+  float t_near = -3.4e38f, t_far = 3.4e38f;
+  const float* c = &b.c.x;
+  const float* a = &b.a.x;
+  const float* gl = &gmin.x;
+  const float* gh = &gmax.x;
+  for (int k = 0; k < 3; ++k) {
+    float ak = a[k];
+    float inv = 1.0f / (std::fabs(ak) < 1e-12f ? (ak < 0 ? -1e-12f : 1e-12f)
+                                               : ak);
+    float t0 = (gl[k] - c[k]) * inv;
+    float t1 = (gh[k] - c[k]) * inv;
+    t_near = std::max(t_near, std::min(t0, t1));
+    t_far = std::min(t_far, std::max(t0, t1));
+  }
+  if (t_far >= std::max(t_near, 0.0f) && t_near <= t_max) return true;
+  // convex minimization of the beam/box gap over s in [0, t_max]
+  float lo = 0.0f, hi = t_max;
+  for (int it = 0; it < 24; ++it) {
+    float m1 = lo + (hi - lo) * (1.0f / 3.0f);
+    float m2 = hi - (hi - lo) * (1.0f / 3.0f);
+    if (beam_gap(b, gmin, gmax, m1) < beam_gap(b, gmin, gmax, m2)) hi = m2;
+    else lo = m1;
+  }
+  float slack = 1e-4f + 1e-5f * t_max;
+  return beam_gap(b, gmin, gmax, 0.5f * (lo + hi)) <= slack;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Collect candidate faces per beam tile.  Two-phase protocol: call with
+// cap == 0 to fill `counts` only; allocate sum(counts); call again with the
+// same inputs and cap == total to fill `faces_out`/`dnear_out`
+// (concatenated per tile, sorted by conservative near distance ascending).
+// Returns the total candidate count, or -1 when cap is insufficient.
+int64_t lbt_cull(const float* node_min, const float* node_max,
+                 const int32_t* node_face, const int32_t* node_skip,
+                 int64_t num_nodes, const float* center, const float* axis,
+                 const float* tan_half, const float* radius,
+                 const uint8_t* valid, int64_t num_tiles, float t_max,
+                 int32_t* counts, int32_t* faces_out, float* dnear_out,
+                 int64_t cap) {
+  std::vector<std::vector<std::pair<float, int32_t>>> per_tile(
+      cap > 0 ? (size_t)num_tiles : 0);
+
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t t = 0; t < num_tiles; ++t) {
+    counts[t] = 0;
+    if (!valid[t]) continue;
+    Beam b;
+    b.c = {center[3 * t], center[3 * t + 1], center[3 * t + 2]};
+    b.a = {axis[3 * t], axis[3 * t + 1], axis[3 * t + 2]};
+    b.tan_half = tan_half[t];
+    b.radius = radius[t];
+    int64_t node = 0;
+    int32_t n_hits = 0;
+    while (node < num_nodes) {
+      if (beam_box_overlap(b, node_min + 3 * node, node_max + 3 * node,
+                           t_max)) {
+        int32_t face = node_face[node];
+        if (face >= 0) {
+          ++n_hits;
+          if (cap > 0) {
+            // conservative near distance: axis projection of the box,
+            // minus origin radius (matches PallasCulledTraverser bounds)
+            const float* lo = node_min + 3 * node;
+            const float* hi = node_max + 3 * node;
+            float cx = 0.5f * (lo[0] + hi[0]), hx = 0.5f * (hi[0] - lo[0]);
+            float cy = 0.5f * (lo[1] + hi[1]), hy = 0.5f * (hi[1] - lo[1]);
+            float cz = 0.5f * (lo[2] + hi[2]), hz = 0.5f * (hi[2] - lo[2]);
+            float proj = (cx - b.c.x) * b.a.x + (cy - b.c.y) * b.a.y +
+                         (cz - b.c.z) * b.a.z;
+            float slack = hx * std::fabs(b.a.x) + hy * std::fabs(b.a.y) +
+                          hz * std::fabs(b.a.z);
+            float dn = std::max(proj - slack - b.radius, 0.0f);
+            per_tile[t].push_back({dn, face});
+          }
+          node = node_skip[node];
+        } else {
+          node = node + 1;
+        }
+      } else {
+        node = node_skip[node];
+      }
+    }
+    counts[t] = n_hits;
+    if (cap > 0) {
+      std::sort(per_tile[t].begin(), per_tile[t].end());
+    }
+  }
+
+  int64_t total = 0;
+  for (int64_t t = 0; t < num_tiles; ++t) total += counts[t];
+  if (cap > 0) {
+    if (total > cap) return -1;
+    int64_t off = 0;
+    for (int64_t t = 0; t < num_tiles; ++t) {
+      for (const auto& pr : per_tile[t]) {
+        dnear_out[off] = pr.first;
+        faces_out[off] = pr.second;
+        ++off;
+      }
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -127,3 +127,30 @@ def test_degenerate_triangle_is_ignored(rng):
     cand = tr.build_candidates(tree, o, d)
     hit = tr(jnp.asarray(o), jnp.asarray(d), jnp.asarray(cand))
     assert (np.asarray(hit.face) == 1).all()
+
+
+def test_native_culler_matches_numpy(rng, monkeypatch):
+    from lidar_brdf_tpu.io.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    o = np.zeros((128, 3), np.float32)
+    o[:, 1] = 8.0
+    az = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    el = np.linspace(-1.2, -0.3, 16)
+    aa, ee = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(ee) * np.cos(aa), np.sin(ee),
+                  np.cos(ee) * np.sin(aa)], -1).reshape(-1, 3)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    native = beamcull.build_tile_candidates(tree, o, d, tile_rays=16,
+                                            pad_to=8)
+    monkeypatch.setenv("LIDAR_BRDF_TPU_NO_NATIVE", "1")
+    pure = beamcull.build_tile_candidates(tree, o, d, tile_rays=16, pad_to=8)
+    assert native.shape[0] == pure.shape[0]
+    for t in range(native.shape[0]):
+        assert (set(native[t][native[t] >= 0].tolist())
+                == set(pure[t][pure[t] >= 0].tolist()))
