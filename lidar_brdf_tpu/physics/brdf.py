@@ -120,14 +120,23 @@ def lookup_hermite(tables, mat_id, x, y, hermite: jnp.ndarray):
     xs_k = jnp.mod(xi[..., None] + k - 1, PHI_BUCKETS)
     ys_k = jnp.clip(yi[..., None] + k - 1, 0, THETA_BUCKETS - 1)
     base = mat * (PHI_BUCKETS * THETA_BUCKETS)
-    rx = flat[(base + y_row)[..., None] + xs_k * THETA_BUCKETS]
-    ry = flat[(base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k]
+    idx = jnp.concatenate(
+        [(base + y_row)[..., None] + xs_k * THETA_BUCKETS,
+         (base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k],
+        axis=-1)
+    both = flat[idx]                               # one (N, 8) gather: the
+    rx = both[..., 0:4]                            # bwd is then a single
+    ry = both[..., 4:8]                            # scatter-add as well
 
-    cx = rx @ hermite.T      # (..., 4) coefficients a,b,c,d along x
-    cy = ry @ hermite.T
-    px = ((cx[..., 0] * xf + cx[..., 1]) * xf + cx[..., 2]) * xf + cx[..., 3]
-    py = ((cy[..., 0] * yf + cy[..., 1]) * yf + cy[..., 2]) * yf + cy[..., 3]
-    return px + py
+    # explicit spline arithmetic — jnp matmul would drag the gathered
+    # values through bf16 on the MXU (and costs more than it saves at 4x4)
+    def spline(r, f):
+        c = [hermite[j, 0] * r[..., 0] + hermite[j, 1] * r[..., 1]
+             + hermite[j, 2] * r[..., 2] + hermite[j, 3] * r[..., 3]
+             for j in range(4)]
+        return ((c[0] * f + c[1]) * f + c[2]) * f + c[3]
+
+    return spline(rx, xf) + spline(ry, yf)
 
 
 def measured_brdf_factor(materials: MaterialTable, mat_id, L, N,
