@@ -27,6 +27,9 @@ def main():
     import jax.numpy as jnp
 
     def timed(name, fn, *args, iters=5, sync=None):
+        # device-resident args: numpy inputs would re-upload through the
+        # TPU tunnel on every call and dominate the measurement
+        args = jax.device_put(args)
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)

@@ -154,3 +154,32 @@ def test_native_culler_matches_numpy(rng, monkeypatch):
     for t in range(native.shape[0]):
         assert (set(native[t][native[t] >= 0].tolist())
                 == set(pure[t][pure[t] >= 0].tolist()))
+
+
+def test_als_culled_matches_packet(rng):
+    # ALS rays: origins move along the flight path; beams must bound the
+    # origin spread and still cull correctly.
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode)
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.runtime.simulate import Simulator
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.AERIAL_ZIGZAG,
+        als_position=(0.0, 30.0, 0.0), als_speed=30.0,
+        als_scan_frequency=40, als_pulse_frequency=4000,
+        als_fov_horizontal=40.0,
+        rays_per_pulse=2, max_returns=2, chunk_pulses=1024,
+        shading_mode=ShadingMode.MEASURED)
+    mats = MaterialLibrary.default().table_at(1064)
+    rays = build_rays(cfg, scene)
+    cloud_c = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg).run(rays)
+    cloud_p = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                        use_culled=False).run(rays)
+    assert int(np.asarray(cloud_c.mask).sum()) \
+        == int(np.asarray(cloud_p.mask).sum()) > 0
+    ic = np.sort(np.asarray(cloud_c.intensity)[np.asarray(cloud_c.mask)])
+    ip = np.sort(np.asarray(cloud_p.intensity)[np.asarray(cloud_p.mask)])
+    np.testing.assert_allclose(ic, ip, rtol=1e-4, atol=1e-7)
