@@ -18,6 +18,7 @@ All functions are vectorized over a leading batch of hits.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import BRDFInterpolation, BRDFModel
@@ -89,6 +90,75 @@ def hermite_matrix(t: float) -> jnp.ndarray:
     ], jnp.float32)
 
 
+def _hermite_elem_indices(mat, xi, yi):
+    """(..., 8) flat element indices of the two 4-point neighbourhoods."""
+    x_col = jnp.mod(xi - 1, PHI_BUCKETS)
+    y_row = jnp.clip(yi - 1, 0, THETA_BUCKETS - 1)
+    k = jnp.arange(4, dtype=jnp.int32)
+    xs_k = jnp.mod(xi[..., None] + k - 1, PHI_BUCKETS)
+    ys_k = jnp.clip(yi[..., None] + k - 1, 0, THETA_BUCKETS - 1)
+    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
+    return jnp.concatenate(
+        [(base + y_row)[..., None] + xs_k * THETA_BUCKETS,
+         (base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k],
+        axis=-1)
+
+
+@jax.custom_vjp
+def _hermite_windows(tables, mat, xi, yi):
+    """(..., 8) = [rx0..rx3, ry0..ry3] neighbourhood values.
+
+    Forward: ONE row gather from a precomputed window table (shifted views
+    of `tables`; building it is pure slicing) — TPU gathers are ~4x cheaper
+    per row than per element.  Backward (custom): element-mode scatter-add
+    of the 8 cotangents straight into the table (row-mode scatter is
+    slower, and differentiating through the shifted views would pay it).
+    """
+    win = _window_table(tables)                    # (M*360*91, 8)
+    key = (mat * (PHI_BUCKETS * THETA_BUCKETS)
+           + xi * THETA_BUCKETS + yi)
+    return win[key]
+
+
+def _window_table(tables):
+    """(M*360*91, 8) per-cell neighbourhood values via shifted views.
+
+    views[k][m, x, y] = tables[m, (x+k-1) mod 360, clip(y-1, 0, 90)]  (rx_k)
+    views[4+k][m, x, y] = tables[m, (x-1) mod 360, clip(y+k-1, 0, 90)] (ry_k)
+    """
+    def roll_x(t, s):
+        return jnp.roll(t, -s, axis=1)
+
+    def shift_y(t, s):
+        # y -> clip(y + s, 0, 90)
+        if s == 0:
+            return t
+        if s < 0:
+            pad = jnp.repeat(t[:, :, :1], -s, axis=2)
+            return jnp.concatenate([pad, t[:, :, :s]], axis=2)
+        pad = jnp.repeat(t[:, :, -1:], s, axis=2)
+        return jnp.concatenate([t[:, :, s:], pad], axis=2)
+
+    views = [shift_y(roll_x(tables, k - 1), -1) for k in range(4)]
+    views += [shift_y(roll_x(tables, -1), k - 1) for k in range(4)]
+    return jnp.stack(views, axis=-1).reshape(-1, 8)
+
+
+def _hermite_windows_fwd(tables, mat, xi, yi):
+    return _hermite_windows(tables, mat, xi, yi), (tables.shape, mat, xi, yi)
+
+
+def _hermite_windows_bwd(res, g):
+    shape, mat, xi, yi = res
+    idx = _hermite_elem_indices(mat, xi, yi)
+    flat_grad = jnp.zeros(shape[0] * shape[1] * shape[2],
+                          g.dtype).at[idx].add(g)
+    return flat_grad.reshape(shape), None, None, None
+
+
+_hermite_windows.defvjp(_hermite_windows_fwd, _hermite_windows_bwd)
+
+
 def lookup_hermite(tables, mat_id, x, y, hermite: jnp.ndarray):
     """Separable cubic-Hermite (cardinal spline) lookup.
 
@@ -97,10 +167,10 @@ def lookup_hermite(tables, mat_id, x, y, hermite: jnp.ndarray):
     column, summed.  x neighbours wrap mod 360; y neighbours clamp to
     [0, 90].
 
-    Both 4-point neighbourhoods are fetched as (N, 4) flat element gathers
-    (two gather ops instead of eight).  NOTE: keep these in element mode —
-    a slice-mode lax.gather is faster forward but its VJP is a slice-mode
-    scatter-add that Mosaic lowers to a ~500 ms serial while-loop.
+    Both 4-point neighbourhoods come from `_hermite_windows` (row-gather
+    forward, element-scatter backward; see its docstring).  NOTE: never use
+    a slice-mode lax.gather here — its VJP is a slice-mode scatter-add that
+    Mosaic lowers to a ~500 ms serial while-loop.
     """
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -111,22 +181,11 @@ def lookup_hermite(tables, mat_id, x, y, hermite: jnp.ndarray):
     mat = jnp.broadcast_to(jnp.asarray(mat_id, jnp.int32), xi.shape)
 
     # The reference evaluates the x-spline along row ys[0] = clip(yi-1) and
-    # the y-spline along column xs[0] = (xi-1) mod 360 (:52-59).
-    x_col = jnp.mod(xi - 1, PHI_BUCKETS)
-    y_row = jnp.clip(yi - 1, 0, THETA_BUCKETS - 1)
-
-    flat = tables.reshape(-1)
-    k = jnp.arange(4, dtype=jnp.int32)
-    xs_k = jnp.mod(xi[..., None] + k - 1, PHI_BUCKETS)
-    ys_k = jnp.clip(yi[..., None] + k - 1, 0, THETA_BUCKETS - 1)
-    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
-    idx = jnp.concatenate(
-        [(base + y_row)[..., None] + xs_k * THETA_BUCKETS,
-         (base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k],
-        axis=-1)
-    both = flat[idx]                               # one (N, 8) gather: the
-    rx = both[..., 0:4]                            # bwd is then a single
-    ry = both[..., 4:8]                            # scatter-add as well
+    # the y-spline along column xs[0] = (xi-1) mod 360 (:52-59); both
+    # neighbourhoods are baked into the window table.
+    both = _hermite_windows(tables, mat, xi, yi)   # (..., 8)
+    rx = both[..., 0:4]
+    ry = both[..., 4:8]
 
     # explicit spline arithmetic — jnp matmul would drag the gathered
     # values through bf16 on the MXU (and costs more than it saves at 4x4)
