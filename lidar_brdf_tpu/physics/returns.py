@@ -176,11 +176,19 @@ def simulate_returns(
     if not retraverse:
         hits0 = traverse_fn(rays.origin, rays.direction)
 
-    # (F, 4) fused row [v0, v1, v2, comp]: the contiguity test and the
-    # per-ray component id share one per-ray row gather (a separate 1-D
-    # face_comp gather alone measured 9.4 ms at 1.3M rays on v5e).
+    # Fused lookup rows — TPU gathers are priced per row, so co-indexed
+    # tables are packed and gathered once (a lone 1-D face_comp gather
+    # alone measured 9.4 ms at 1.3M rays on v5e):
+    #   faces_aug (F, 4): [v0, v1, v2, comp]
+    #   comp_aug  (C, 2): [material, surface]
+    #   vert_ksns (V, 2): [ks, ns]
+    #   mat_aug   (M, 2): [refractive_index, roughness]
     faces_aug = jnp.concatenate(
         [scene.faces, scene.face_comp[:, None]], axis=1)
+    comp_aug = jnp.stack([scene.comp_material, scene.comp_surface], axis=1)
+    vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)
+    mat_aug = jnp.stack([materials.refractive_index, materials.roughness],
+                        axis=1)
 
     def step(state, level):
         origin, direction, prev_dir, active, return_count, prev_water, prev_point = state
@@ -211,9 +219,12 @@ def simulate_returns(
         # Differentiable re-evaluation of the winning hit (fixed topology).
         t_ref, point_w, (u_w, v_w), normal_w, _ = refine_hit(
             scene, origin_w, dir_w, face_w)
-        comp_w = scene.face_comp[jnp.maximum(face_w, 0)]
-        mat_w = scene.comp_material[comp_w]
-        surface_w = scene.comp_surface[comp_w]
+        rows_w = faces_aug[jnp.maximum(face_w, 0)]                  # (P, 4)
+        verts_w = rows_w[:, 0:3]
+        comp_w = rows_w[:, 3]
+        crow_w = comp_aug[comp_w]                                   # (P, 2)
+        mat_w = crow_w[:, 0]
+        surface_w = crow_w[:, 1]
         is_water = (surface_w & SURFACE_WATER) != 0
         is_terrain = (surface_w & SURFACE_TERRAIN) != 0
 
@@ -222,7 +233,6 @@ def simulate_returns(
         rows_i = faces_aug[jnp.maximum(hits.face, 0)]               # (P, R, 4)
         verts_i = rows_i[..., 0:3]
         comp_i = rows_i[..., 3]
-        verts_w = scene.faces[jnp.maximum(face_w, 0)]               # (P, 3)
 
         # -------- footprint merge (`reduceCollisions` :201-223) ----------
         footprint = _norm(point_w - start_w) * scalars.pulse_radius
@@ -252,11 +262,11 @@ def simulate_returns(
         dnoise = nz[:, noise_mod.DISTANCE_STREAM]
         b0, b1 = scalars.max_range_boundary[0], scalars.max_range_boundary[1]
         noisy_max = scalars.max_range + dnoise * (b1 - b0) + b0
-        first_vtx = verts_w[:, 0]
-        ks = scene.vertex_ks[first_vtx]
-        ns = scene.vertex_ns[first_vtx]
-        shininess = jnp.clip(jnp.power(jnp.maximum(ks, 0.0), ns)
-                             * materials.roughness[mat_w], 0.0, 1.0)
+        ksns = vert_ksns[verts_w[:, 0]]                             # (P, 2)
+        mrow = mat_aug[mat_w]                                       # (P, 2)
+        shininess = jnp.clip(jnp.power(jnp.maximum(ksns[:, 0], 0.0),
+                                       ksns[:, 1])
+                             * mrow[:, 1], 0.0, 1.0)
         loss_thr = jnp.where(
             shininess < scalars.loss_threshold, 0.0,
             scalars.loss_mult * jnp.power(
@@ -298,9 +308,10 @@ def simulate_returns(
             point_rec = jnp.where((is_terrain & valid_col)[:, None],
                                   point_rec + shift, point_rec)
 
-        uv_rec = (scene.vertex_uv[verts_w[:, 0]] * (1.0 - u_w - v_w)[:, None]
-                  + scene.vertex_uv[verts_w[:, 1]] * u_w[:, None]
-                  + scene.vertex_uv[verts_w[:, 2]] * v_w[:, None])
+        uvs = scene.vertex_uv[verts_w]                              # (P, 3, 2)
+        uv_rec = (uvs[:, 0] * (1.0 - u_w - v_w)[:, None]
+                  + uvs[:, 1] * u_w[:, None]
+                  + uvs[:, 2] * v_w[:, None])
 
         z = lambda v: jnp.where(valid_col, v, 0.0)   # sanitize masked slots
         record = ReturnRecord(
@@ -343,7 +354,7 @@ def simulate_returns(
         new_active_valid = (~exceed[:, None]) & (continue_ray | revive)
         active_next = jnp.where(valid_col[:, None], new_active_valid,
                                 continue_ray)
-        eta = materials.refractive_index[mat_w]
+        eta = mrow[:, 0]
         # Orient the interface normal against the incident ray (robust to
         # mesh winding; GLSL refract assumes dot(N, I) < 0 and the
         # reference trusts its models' winding).

@@ -70,6 +70,9 @@ def records_to_pointcloud(scene: TriangleScene, records: ReturnRecord,
     nr = jnp.broadcast_to(num_returns[None, :], (L, P))
     comp = flat(records.comp)
     safe_comp = jnp.maximum(comp, 0)
+    # one row gather for both label tables (TPU gathers are priced per row)
+    sem_rows = jnp.stack([scene.comp_semantic, scene.comp_asprs],
+                         axis=1)[safe_comp]
     cloud = PointCloud(
         position=flat(records.point),
         normal=flat(records.normal),
@@ -82,8 +85,8 @@ def records_to_pointcloud(scene: TriangleScene, records: ReturnRecord,
         scan_direction=flat(records.direction),
         gps_time=flat(records.gps_time),
         comp_id=comp,
-        semantic=jnp.where(comp >= 0, scene.comp_semantic[safe_comp], -1),
-        asprs=jnp.where(comp >= 0, scene.comp_asprs[safe_comp], -1),
+        semantic=jnp.where(comp >= 0, sem_rows[:, 0], -1),
+        asprs=jnp.where(comp >= 0, sem_rows[:, 1], -1),
         mask=flat(records.mask),
     )
     if not include_outliers:
