@@ -151,14 +151,18 @@ def simulate_returns(
     max_returns = cfg.max_returns
     bathymetric = bool(cfg.bathymetric)
     retraverse = bathymetric or scene_has_water
+    bounce_traverse_fn = traverse_fn
     if traverse_data is not None:
-        if retraverse:
-            raise ValueError(
-                "beam-culled traversal (traverse_data) only supports the "
-                "single-traversal path: water/bathymetric scenes re-traverse "
-                "with refracted rays the host culler never saw")
         base_traverse = traverse_fn
         traverse_fn = lambda o, d: base_traverse(o, d, traverse_data)
+        if retraverse:
+            # Hybrid: the beam-culled candidates cover the level-0 rays the
+            # host saw; refracted bounce rays (water) re-traverse the full
+            # tree with the packet walk.
+            from ..geom.packet import intersect_packed_scene, pack_scene
+            packed = pack_scene(scene, bvh)
+            bounce_traverse_fn = \
+                lambda o, d: intersect_packed_scene(packed, o, d)
 
     start_point = rays.origin                      # (P, R, 3) fixed sensor origin
     ray_power = scalars.peak_power / jnp.float32(R)
@@ -172,9 +176,9 @@ def simulate_returns(
                      if cfg.is_terrestrial
                      else jnp.array([1.0, 1.0, 0.0], jnp.float32))
 
-    hits0 = None
-    if not retraverse:
-        hits0 = traverse_fn(rays.origin, rays.direction)
+    # Level 0 always uses the primary traversal (beam-culled when
+    # candidates were supplied); only refracted bounce levels re-traverse.
+    hits0 = traverse_fn(rays.origin, rays.direction)
 
     # Fused lookup rows — TPU gathers are priced per row, so co-indexed
     # tables are packed and gathered once (a lone 1-D face_comp gather
@@ -190,13 +194,9 @@ def simulate_returns(
     mat_aug = jnp.stack([materials.refractive_index, materials.roughness],
                         axis=1)
 
-    def step(state, level):
+    def step(state, hits):
         origin, direction, prev_dir, active, return_count, prev_water, prev_point = state
 
-        if retraverse:
-            hits = traverse_fn(origin, direction)
-        else:
-            hits = hits0
         valid_hit = (hits.face >= 0) & active                       # (P, R)
         dist = jnp.where(valid_hit, hits.t, BIG)
         w = jnp.argmin(dist, axis=1)                                # (P,)
@@ -385,14 +385,31 @@ def simulate_returns(
         jnp.zeros(P, bool),                           # prev collision water?
         jnp.zeros((P, 3), jnp.float32),               # prev collision point
     )
-    levels = jnp.arange(max_returns)
     if max_returns == 1:
         # unrolled single-return fast path (avoids scan overhead)
-        final_state, (records, outliers) = step(init, levels[0])
+        final_state, (records, outliers) = step(init, hits0)
         records = jax.tree.map(lambda a: a[None], records)
         outliers = jax.tree.map(lambda a: a[None], outliers)
+    elif not retraverse:
+        # no continuing ray ever changes direction, and origins only move
+        # forward along the ray: per-ray nearest hits are level-invariant
+        final_state, (records, outliers) = jax.lax.scan(
+            lambda st, _: step(st, hits0), init,
+            jnp.arange(max_returns))
     else:
-        final_state, (records, outliers) = jax.lax.scan(step, init, levels)
+        # level 0 unrolled on the primary traversal; refracted bounce
+        # levels re-traverse the full tree
+        state1, (rec0, out0) = step(init, hits0)
+
+        def bounce(st, _):
+            return step(st, bounce_traverse_fn(st[0], st[1]))
+
+        final_state, (rec_r, out_r) = jax.lax.scan(
+            bounce, state1, jnp.arange(max_returns - 1))
+        records = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, rec_r)
+        outliers = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, out_r)
     num_returns = final_state[4]
     final_origin = final_state[0]
     return records, outliers, num_returns, final_origin

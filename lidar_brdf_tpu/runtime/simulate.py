@@ -170,11 +170,11 @@ class Simulator:
         # `use_pallas` now selects the Pallas *culled* kernel explicitly
         # (the only Pallas path; the old per-node walker could not compile
         # on real TPUs).  It shares the culled-traversal machinery below.
+        # Water/bathymetric scenes use the hybrid: culled level 0, packet
+        # re-traversal for refracted bounce levels (physics/returns.py).
         self._culled_active = (
             (self.use_culled is not False or self.use_pallas)
-            and self.traverse_fn is None
-            and not self.scene_has_water
-            and not self.cfg.bathymetric)
+            and self.traverse_fn is None)
         scene_min_y = float(np.asarray(self.scene.vertices)[:, 1].min())
         self.scalars = SimScalars.from_config(self.cfg, scene_min_y)
         key = jax.random.PRNGKey(self.cfg.seed)
@@ -208,7 +208,8 @@ class Simulator:
                     self.scene, tile_rays=self.block_pulses * rpp, chunk=128)
             self._jitted_culled = jax.jit(
                 functools.partial(
-                    simulate_chunk, cfg=self.cfg, scene_has_water=False,
+                    simulate_chunk, cfg=self.cfg,
+                    scene_has_water=self.scene_has_water,
                     traverse_fn=self._culler),
                 static_argnames=())
             b0, b1 = self.cfg.max_range_soft_boundary

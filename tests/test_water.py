@@ -87,3 +87,36 @@ def test_auto_bathymetric_by_wavelength(rng):
     rn = np.asarray(cloud.return_number)[m]
     under = (asprs == 2) & (rn >= 1)
     assert under.sum() > 0
+
+
+def test_hybrid_culled_matches_packet_on_water(rng):
+    """Water scenes run the hybrid (culled level 0 + packet bounces); it
+    must produce the same cloud as the pure packet path."""
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.runtime.simulate import Simulator
+    scene = water_over_ground_scene()
+    cfg = _als_cfg()
+    bvh = build_scene_bvh(scene)
+    mats = MaterialLibrary.default().table_at(532)
+    rays = build_rays(cfg, scene)
+    sim_h = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                      reorder=False)
+    sim_p = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                      use_culled=False)
+    assert sim_h._culled_active and sim_h.scene_has_water
+    ch = sim_h.run(rays)
+    cp = sim_p.run(rays)
+    mh, mp = np.asarray(ch.mask), np.asarray(cp.mask)
+    assert mh.sum() == mp.sum() > 0
+
+    def rows(c, m):
+        # unique stable key per point: (pulse gps time, return number)
+        key = np.lexsort((np.asarray(c.return_number)[m],
+                          np.asarray(c.gps_time)[m]))
+        return np.asarray(c.position)[m][key]
+
+    # first-hit t differs between the Wald (culled) and Moller-Trumbore
+    # (packet) arithmetic at f32 rounding; refraction amplifies that to
+    # ~0.5 mm on sub-surface returns — compare at 1 cm
+    np.testing.assert_allclose(rows(ch, mh), rows(cp, mp), atol=1e-2)
