@@ -59,6 +59,50 @@ def lookup_raw(tables, mat_id, x, y):
     return _gather(tables, mat_id, xi, yi)
 
 
+def _bilinear_elem_indices(mat, x0i, y0i):
+    x1i = jnp.mod(x0i + 1, PHI_BUCKETS)
+    # the reference clamps the upper neighbour to 89, not 90 (:41)
+    y1i = jnp.clip(y0i + 1, 0, THETA_BUCKETS - 2)
+    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
+    return jnp.stack([base + x0i * THETA_BUCKETS + y0i,
+                      base + x1i * THETA_BUCKETS + y0i,
+                      base + x0i * THETA_BUCKETS + y1i,
+                      base + x1i * THETA_BUCKETS + y1i], axis=-1)
+
+
+@jax.custom_vjp
+def _bilinear_windows(tables, mat, x0i, y0i):
+    """(..., 4) neighbourhood [v00, v10, v01, v11] — one row gather from a
+    shifted-view window table (same pattern as `_hermite_windows`)."""
+    def clamp_y1(t):
+        # y -> min(y + 1, 89)
+        return jnp.concatenate(
+            [t[:, :, 1:THETA_BUCKETS - 1],
+             t[:, :, THETA_BUCKETS - 2:THETA_BUCKETS - 1],
+             t[:, :, THETA_BUCKETS - 2:THETA_BUCKETS - 1]], axis=2)
+    x1 = jnp.roll(tables, -1, axis=1)
+    win = jnp.stack([tables, x1, clamp_y1(tables), clamp_y1(x1)],
+                    axis=-1).reshape(-1, 4)
+    key = (mat * (PHI_BUCKETS * THETA_BUCKETS)
+           + x0i * THETA_BUCKETS + y0i)
+    return win[key]
+
+
+def _bilinear_windows_fwd(tables, mat, x0i, y0i):
+    return _bilinear_windows(tables, mat, x0i, y0i), \
+        (tables.shape, mat, x0i, y0i)
+
+
+def _bilinear_windows_bwd(res, g):
+    shape, mat, x0i, y0i = res
+    idx = _bilinear_elem_indices(mat, x0i, y0i)
+    flat = jnp.zeros(shape[0] * shape[1] * shape[2], g.dtype).at[idx].add(g)
+    return flat.reshape(shape), None, None, None
+
+
+_bilinear_windows.defvjp(_bilinear_windows_fwd, _bilinear_windows_bwd)
+
+
 def lookup_bilinear(tables, mat_id, x, y):
     """Bilinear lookup (`getLinearInterpolation`)."""
     x0 = jnp.floor(x)
@@ -66,14 +110,11 @@ def lookup_bilinear(tables, mat_id, x, y):
     xf = x - x0
     yf = y - y0
     x0i = jnp.mod(x0.astype(jnp.int32), PHI_BUCKETS)
-    x1i = jnp.mod(x0i + 1, PHI_BUCKETS)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, THETA_BUCKETS - 1)
-    # the reference clamps the upper neighbour to 89, not 90 (:41)
-    y1i = jnp.clip(y0i + 1, 0, THETA_BUCKETS - 2)
-    return (_gather(tables, mat_id, x0i, y0i) * (1 - xf) * (1 - yf)
-            + _gather(tables, mat_id, x1i, y0i) * xf * (1 - yf)
-            + _gather(tables, mat_id, x0i, y1i) * (1 - xf) * yf
-            + _gather(tables, mat_id, x1i, y1i) * xf * yf)
+    mat = jnp.broadcast_to(jnp.asarray(mat_id, jnp.int32), x0i.shape)
+    v = _bilinear_windows(tables, mat, x0i, y0i)
+    return (v[..., 0] * (1 - xf) * (1 - yf) + v[..., 1] * xf * (1 - yf)
+            + v[..., 2] * (1 - xf) * yf + v[..., 3] * xf * yf)
 
 
 def hermite_matrix(t: float) -> jnp.ndarray:
