@@ -84,3 +84,37 @@ def test_metrics_aggregation():
     m2 = PipelineMetrics(discard_first=True)
     m2.samples["X"] = [100.0, 1.0, 1.0]
     assert abs(m2.mean("X") - 1.0) < 1e-9
+
+
+def test_simulator_wide_beam_fallback(rng):
+    """Incoherent ray directions make useless beams; the Simulator must
+    detect that and fall back to packet traversal (same results path)."""
+    from conftest import make_random_scene
+    from lidar_brdf_tpu.core.types import RayBundle
+    import jax.numpy as jnp
+    scene = make_random_scene(rng, num_tris=80)
+    from lidar_brdf_tpu.api import build_scene_bvh
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.core.config import SensorConfig, ShadingMode
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(rays_per_pulse=1, max_returns=1, chunk_pulses=256,
+                       max_range=500.0, shading_mode=ShadingMode.MEASURED)
+    mats = MaterialLibrary.default().table_at(1064)
+    P = 256
+    o = rng.uniform(-10, 10, (P, 1, 3)).astype(np.float32)
+    d = rng.normal(size=(P, 1, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = RayBundle(origin=jnp.asarray(o), direction=jnp.asarray(d),
+                     gps_time=jnp.zeros(P, jnp.float32))
+    sim = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                    reorder=False)
+    assert sim._culled_active
+    assert not sim._culler.beams_ok(o, d)      # fallback branch taken
+    cloud = sim.run(rays)
+    ref = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                    use_culled=False).run(rays)
+    assert (np.asarray(cloud.mask) == np.asarray(ref.mask)).any()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(cloud.intensity)[np.asarray(cloud.mask)]),
+        np.sort(np.asarray(ref.intensity)[np.asarray(ref.mask)]),
+        rtol=1e-5, atol=1e-8)
