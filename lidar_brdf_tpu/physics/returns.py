@@ -47,6 +47,13 @@ SHINY_DISTANCE_WEIGHT = 1.0 / 200.0
 SHINY_MODEL_WEIGHT = 1.0 / 80.0
 SHINY_INDIVIDUAL_ERROR = 1.0 / 100.0
 
+# Decorrelates outlier noise draws across return levels: the reference
+# indexes outlier noise by position in the per-level compacted collision
+# buffer (`addOutlier-comp.glsl:41,45` uses `index`, which restarts per
+# level), so a pulse never re-draws the same outlier at every level.  Our
+# dense slots reproduce that by mixing the level into the stream row.
+OUTLIER_LEVEL_STRIDE = 1_299_721       # prime >> any chunk's pulse count
+
 
 @_pytree
 @dataclass
@@ -195,7 +202,8 @@ def simulate_returns(
                         axis=1)
 
     def step(state, hits):
-        origin, direction, prev_dir, active, return_count, prev_water, prev_point = state
+        (origin, direction, prev_dir, active, return_count, prev_water,
+         prev_point, level) = state
 
         valid_hit = (hits.face >= 0) & active                       # (P, R)
         dist = jnp.where(valid_hit, hits.t, BIG)
@@ -334,14 +342,26 @@ def simulate_returns(
         )
 
         # -------- outliers (`addOutlier-comp.glsl:29-64`) ------------------
-        onz = noise_mod.stream_rows(noise_buf, pulse_gidx)          # (P, 16)
+        # per-collision draw: the row depends on both the pulse AND the
+        # return level, matching the reference's per-level collision-buffer
+        # indexing (`addOutlier-comp.glsl:41,45`)
+        onz = noise_mod.stream_rows(
+            noise_buf,
+            pulse_gidx + level * jnp.uint32(OUTLIER_LEVEL_STRIDE))  # (P, 16)
         o_prob = onz[:, noise_mod.OUTLIER_STREAM]
         o_mask = valid_col & ((o_prob * 2.0 - 1.0) > scalars.outlier_threshold) \
             if cfg.include_outliers else jnp.zeros_like(valid_col)
         o_dn = onz[:, noise_mod.OUTLIER_DISTANCE_STREAM] * 1.5
         o_r0, o_r1 = scalars.outlier_range[0], scalars.outlier_range[1]
         o_dist = (o_dn * (o_r1 - o_r0) + o_r0) * corrected
-        prev_dir_w = _unit(prev_dir_w_raw)
+        # addOutlier reads previousDirection AFTER reduceCollisions updated
+        # it: the winner ray continues (and gets previousDirection :=
+        # direction) only on a bathymetric water revive
+        # (`reduceCollisions-comp.glsl:156-161`, `computeRayDirection` :69).
+        exceed = (return_count + 1) >= max_returns
+        winner_continues = (~exceed) & is_water & bool(bathymetric)
+        prev_dir_w = _unit(jnp.where(winner_continues[:, None],
+                                     dir_w, prev_dir_w_raw))
         outlier = OutlierRecord(
             mask=o_mask,
             point=start_w + prev_dir_w * o_dist[:, None],
@@ -349,7 +369,6 @@ def simulate_returns(
         )
 
         # -------- state update (`validateCollision` :152-170) --------------
-        exceed = (return_count + 1) >= max_returns
         revive = valid_hit & is_water[:, None] & bool(bathymetric)
         new_active_valid = (~exceed[:, None]) & (continue_ray | revive)
         active_next = jnp.where(valid_col[:, None], new_active_valid,
@@ -366,14 +385,19 @@ def simulate_returns(
         water_upd = (valid_col & is_water)[:, None, None]      # (P, 1, 1)
         origin_next = jnp.where(water_upd, point_i + direction * 1e-4, origin)
         dir_next = jnp.where(water_upd, refr, direction)
-        prev_dir_next = jnp.where(valid_col[:, None, None],
-                                  direction, prev_dir)
+        # previousDirection := direction only for CONTINUING rays (the
+        # reference writes it inside `computeRayDirection`, which only the
+        # continue branch calls — `reduceCollisions-comp.glsl:156-161`).
+        prev_dir_next = jnp.where(
+            (valid_col[:, None] & new_active_valid)[..., None],
+            direction, prev_dir)
         count_next = return_count + valid_col.astype(jnp.int32)
         prev_water_next = jnp.where(valid_col, is_water, prev_water)
         prev_point_next = jnp.where(valid_col[:, None], point_w, prev_point)
 
         new_state = (origin_next, dir_next, prev_dir_next, active_next,
-                     count_next, prev_water_next, prev_point_next)
+                     count_next, prev_water_next, prev_point_next,
+                     level + jnp.uint32(1))
         return new_state, (record, outlier)
 
     init = (
@@ -384,6 +408,7 @@ def simulate_returns(
         jnp.zeros(P, jnp.int32),                      # returnNumber
         jnp.zeros(P, bool),                           # prev collision water?
         jnp.zeros((P, 3), jnp.float32),               # prev collision point
+        jnp.uint32(0),                                # return level index
     )
     if max_returns == 1:
         # unrolled single-return fast path (avoids scan overhead)
