@@ -393,7 +393,11 @@ def simulate_returns(
             direction, prev_dir)
         count_next = return_count + valid_col.astype(jnp.int32)
         prev_water_next = jnp.where(valid_col, is_water, prev_water)
-        prev_point_next = jnp.where(valid_col[:, None], point_w, prev_point)
+        # the reference stores the ERROR-SHIFTED point in the collision
+        # buffer (`validateCollision` translates before the compact copy),
+        # and bathymetric transmitDir reads that stored point
+        # (`computeIntensity-comp.glsl:27`)
+        prev_point_next = jnp.where(valid_col[:, None], point_rec, prev_point)
 
         new_state = (origin_next, dir_next, prev_dir_next, active_next,
                      count_next, prev_water_next, prev_point_next,
