@@ -29,7 +29,7 @@ from ..core.config import SensorConfig
 from ..core.types import MaterialTable, RayBundle
 from ..runtime.simulate import simulate_chunk
 
-RAY_AXIS = "rays"
+from .multihost import RAY_AXIS  # single definition; multihost is import-light
 
 
 def ray_mesh(devices=None) -> Mesh:
