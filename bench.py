@@ -4,9 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline (BASELINE.json): >100M rays/s fwd+bwd on a v5e-8, i.e. 12.5M
 rays/s/chip; vs_baseline is measured rays/s/chip over that per-chip target.
-Workload: TLS scan over a procedural terrain+boxes scene, measured-table
-BRDF shading, loss = sum of intensities, gradients w.r.t. BRDF tables —
-the reference's default TLS shape scaled up (SURVEY.md §6).
+
+Workloads (select with BENCH_CONFIG):
+  tls          (default) BASELINE-shape TLS scan: 131k pulses x 10 rays,
+               40k-face city scene, measured-table BRDF, single return.
+  multireturn  BASELINE config 3: footprint supersampling + multi-return
+               extraction, >=1M beams (1.05M pulses x 10 rays, 2 returns).
+  als          BASELINE config 4: ALS zigzag flight over a ~5M-triangle
+               displaced terrain.
+  alphaprime   the largest reference sensor preset (AlphaPrime,
+               LiDARParameters.h:454-469): 3600x364 pulses x 10 rays
+               = 13.1M rays/scan, 2 returns.
+All run the same fwd+bwd inverse-rendering loop (loss -> BRDF-table grads).
+Results for non-default configs are also appended to BENCH_EXTRA.json.
 """
 
 import json
@@ -18,8 +28,20 @@ import numpy as np
 
 PER_CHIP_TARGET = 100e6 / 8.0
 
+CONFIGS = {
+    "tls": dict(pulses=131072, rays_pulse=10, max_returns=1, scene="city",
+                num_tris=40_000),
+    "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
+                        scene="city", num_tris=40_000),
+    "als": dict(pulses=131072, rays_pulse=10, max_returns=2,
+                scene="terrain", num_tris=5_000_000),
+    "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
+                       scene="city", num_tris=40_000),
+}
 
-def build_workload(num_pulses, rays_per_pulse, num_tris_target=40_000):
+
+def build_workload(config: str, num_pulses, rays_per_pulse, max_returns,
+                   scene_kind, num_tris):
     """Build scene/rays/materials on the CPU backend (host), as numpy.
 
     Keeps the TPU compile surface to exactly one program (the fwd+bwd step):
@@ -27,32 +49,61 @@ def build_workload(num_pulses, rays_per_pulse, num_tris_target=40_000):
     """
     import jax
     from lidar_brdf_tpu.api import build_rays, build_scene_bvh
-    from lidar_brdf_tpu.core.config import LiDARType, SensorConfig, ShadingMode
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode, get_preset)
     from lidar_brdf_tpu.io import synthetic
     from lidar_brdf_tpu.io.materials import MaterialLibrary
     from lidar_brdf_tpu.physics.returns import SimScalars
     from lidar_brdf_tpu.utils import noise as noise_mod
 
     rng = np.random.default_rng(0)
-    # ground + buildings on a jittered grid (12 tris/building)
-    num_buildings = max((num_tris_target - 128) // 12, 1)
-    scene = synthetic.city_scene(rng, num_buildings=num_buildings)
+    if scene_kind == "terrain":
+        scene = synthetic.rough_terrain(rng, num_tris=num_tris, half=500.0)
+    else:
+        # ground + buildings on a jittered grid (12 tris/building)
+        num_buildings = max((num_tris - 128) // 12, 1)
+        scene = synthetic.city_scene(rng, num_buildings=num_buildings)
     bvh = build_scene_bvh(scene)
-    vres = 64
-    cfg = SensorConfig(
-        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
-        tls_position=(0.0, 10.0, 0.0),
-        tls_fov_horizontal=360.0, tls_fov_vertical=100.0,
-        tls_middle_angle_vertical=-35.0,
-        tls_resolution_horizontal=num_pulses // vres,
-        tls_resolution_vertical=vres,
-        rays_per_pulse=rays_per_pulse, max_returns=1,
-        chunk_pulses=num_pulses,
-        shading_mode=ShadingMode.MEASURED,
-        include_shiny_surface_error=True)
+
+    common = dict(rays_per_pulse=rays_per_pulse, max_returns=max_returns,
+                  chunk_pulses=num_pulses,
+                  shading_mode=ShadingMode.MEASURED,
+                  include_shiny_surface_error=True)
+    if config == "als":
+        # pulse_frequency/scan_frequency = 64 pulses per scan line; the
+        # flight plan over the 1km^2 terrain yields ~1.1M pulses, sliced to
+        # the benched pulse count (a real scan would stream all chunks)
+        cfg = SensorConfig(
+            lidar_type=LiDARType.AERIAL_ZIGZAG,
+            als_position=(0.0, 120.0, 0.0),
+            als_fov_horizontal=70.0, als_fov_vertical=4.5,
+            als_scan_frequency=40, als_pulse_frequency=2560,
+            als_speed=30.0, max_range=400.0, **common)
+    elif config == "alphaprime":
+        cfg = get_preset("alpha_prime").with_(
+            tls_position=(0.0, 10.0, 0.0),
+            tls_middle_angle_vertical=-25.0, tls_fov_vertical=100.0,
+            **common)
+    else:
+        vres = 64
+        cfg = SensorConfig(
+            lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+            tls_position=(0.0, 10.0, 0.0),
+            tls_fov_horizontal=360.0, tls_fov_vertical=100.0,
+            tls_middle_angle_vertical=-35.0,
+            tls_resolution_horizontal=num_pulses // vres,
+            tls_resolution_vertical=vres, **common)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         rays = build_rays(cfg, scene)
+        if rays.num_pulses < num_pulses:
+            # tile the generated scan until the target pulse count
+            reps = -(-num_pulses // rays.num_pulses)
+            rays = jax.tree.map(
+                lambda a: np.concatenate([np.asarray(a)] * reps)[:num_pulses],
+                rays)
+        elif rays.num_pulses > num_pulses:
+            rays = jax.tree.map(lambda a: np.asarray(a)[:num_pulses], rays)
         noise = noise_mod.make_sim_noise(jax.random.PRNGKey(0))
         scalars = SimScalars.from_config(cfg, 0.0)
     to_np = lambda t: jax.tree.map(np.asarray, t)
@@ -66,11 +117,16 @@ def main():
     import threading
     faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
 
+    config = os.environ.get("BENCH_CONFIG", "tls")
+    spec = CONFIGS[config]
+    metric = ("rays_per_s_fwd_bwd_per_chip" if config == "tls"
+              else f"rays_per_s_fwd_bwd_per_chip_{config}")
+
     # Last-resort watchdog: if the TPU tunnel wedges (compiles hang), still
     # emit a well-formed result line before the driver's timeout.
     def _watchdog():
         print(json.dumps({
-            "metric": "rays_per_s_fwd_bwd_per_chip", "value": 0.0,
+            "metric": metric, "value": 0.0,
             "unit": "rays/s", "vs_baseline": 0.0,
             "note": "tpu-unavailable: compile/execute did not finish"}),
             flush=True)
@@ -80,17 +136,21 @@ def main():
     wd.daemon = True
     wd.start()
     import jax
+    if os.environ.get("BENCH_FORCE_CPU"):   # smoke-testing the harness
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from lidar_brdf_tpu.kernels.traverse_pallas import PallasCulledTraverser
     from lidar_brdf_tpu.runtime.simulate import bsp_order, simulate_chunk
 
-    num_pulses = int(os.environ.get("BENCH_PULSES", 131072))
-    rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE", 10))
+    num_pulses = int(os.environ.get("BENCH_PULSES", spec["pulses"]))
+    rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE",
+                                        spec["rays_pulse"]))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     t_start = time.perf_counter()
     scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
-        num_pulses, rays_per_pulse)
+        config, num_pulses, rays_per_pulse, spec["max_returns"],
+        spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
     # Beam-culled traversal prep (host, once per scan — reused every step):
     # BSP-order pulses into coherent tiles, collect per-tile candidates.
     block_pulses = max(1, 640 // rays_per_pulse)
@@ -101,8 +161,10 @@ def main():
     buckets = traverser.prepare(
         bvh, np.asarray(rays.origin), np.asarray(rays.direction),
         t_max=float(cfg.max_range) * 1.2)
-    print(f"# workload built in {time.perf_counter()-t_start:.1f}s "
-          f"({scene.num_faces} faces)", file=sys.stderr, flush=True)
+    print(f"# [{config}] workload built in {time.perf_counter()-t_start:.1f}s "
+          f"({scene.num_faces} faces, {rays.num_pulses} pulses x "
+          f"{rays.rays_per_pulse} rays, {cfg.max_returns} returns)",
+          file=sys.stderr, flush=True)
     total_rays = rays.num_pulses * rays.rays_per_pulse
 
     def loss_fn(table, origin, scene, bvh, materials, rays, noise, scalars,
@@ -160,12 +222,27 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = total_rays / dt
-    print(json.dumps({
-        "metric": "rays_per_s_fwd_bwd_per_chip",
+    line = {
+        "metric": metric,
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
-    }))
+    }
+    print(json.dumps(line))
+    if config != "tls":
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_EXTRA.json")
+        extra = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                extra = json.load(fh)
+        extra[config] = dict(line, pulses=rays.num_pulses,
+                             rays_per_pulse=rays.rays_per_pulse,
+                             max_returns=cfg.max_returns,
+                             faces=scene.num_faces,
+                             device=jax.devices()[0].device_kind)
+        with open(path, "w") as fh:
+            json.dump(extra, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,18 @@ def cmd_simulate(args) -> int:
         cfg = cfg.with_(max_returns=args.max_returns)
     if args.rays_pulse is not None:
         cfg = cfg.with_(rays_per_pulse=args.rays_pulse)
+    if args.als_path:
+        # waypoints JSON: either [[x, y], ...] canvas points or
+        # {"points": [[x, y], ...], "canvas_size": [w, h]}
+        import json as _json
+        with open(args.als_path) as fh:
+            data = _json.load(fh)
+        points = data["points"] if isinstance(data, dict) else data
+        canvas = (tuple(data.get("canvas_size", (1.0, 1.0)))
+                  if isinstance(data, dict) else (1.0, 1.0))
+        cfg = cfg.with_(
+            als_manual_path=tuple(tuple(float(c) for c in p) for p in points),
+            als_manual_canvas_size=canvas)
 
     scene = _load_scene(args.scene)
     print(f"scene: {scene.num_faces} faces, {scene.num_components} components",
@@ -105,6 +117,9 @@ def main(argv=None) -> int:
     ps.add_argument("--refractive-index-dir", dest="refractive_index_dir")
     ps.add_argument("--brdf-dir", dest="brdf_dir",
                     help="directory of RGL/EPFL *.bsdf measured BRDFs")
+    ps.add_argument("--als-path", dest="als_path",
+                    help="JSON file of user-drawn ALS flight waypoints "
+                         "(canvas points; reference path-drawing canvas)")
     ps.set_defaults(fn=cmd_simulate)
 
     pp = sub.add_parser("presets", help="list sensor presets")

@@ -187,6 +187,11 @@ class SensorConfig:
     als_elliptical_scale: float = 0.5
     use_catmull_rom: bool = True
     douglas_peucker_epsilon: float = 3.0
+    # user-drawn flight path: 2-D canvas points mapped onto the scene AABB
+    # (`LiDARParameters::_alsManualPath/_alsManualPathCanvasSize`,
+    # `RayBuilder::getAirbonePaths` manual branch, RayBuilder.cpp:146-213)
+    als_manual_path: tuple[tuple[float, float], ...] | None = None
+    als_manual_canvas_size: tuple[float, float] = (1.0, 1.0)
 
     # Runtime
     seed: int = 0
@@ -233,6 +238,8 @@ class SensorConfig:
             if f.name == "tls_range_resolution":
                 v = tuple(RangeResolution(**r) if isinstance(r, dict)
                           else RangeResolution(*r) for r in v)
+            elif f.name == "als_manual_path" and v is not None:
+                v = tuple(tuple(p) for p in v)   # hashable (jit static arg)
             elif isinstance(v, list):
                 v = tuple(v)
             kw[f.name] = v

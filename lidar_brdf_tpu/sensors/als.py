@@ -59,7 +59,7 @@ def plan_flight(cfg: SensorConfig, aabb_min, aabb_max,
     """Build the flight plan for any aerial mode."""
     aabb_min = np.asarray(aabb_min, np.float64)
     aabb_max = np.asarray(aabb_max, np.float64)
-    if getattr(cfg, "als_manual_path", None):
+    if cfg.als_manual_path:
         paths = manual_path(cfg.als_manual_path, cfg.als_manual_canvas_size,
                             aabb_min, aabb_max, cfg.als_position[1],
                             cfg.douglas_peucker_epsilon, cfg.use_catmull_rom)
