@@ -43,17 +43,24 @@ class ObjComponent:
 
 @dataclass
 class MtlMaterial:
-    """Rendering material constants from a .mtl file.
+    """Rendering material from a .mtl file: constants + texture maps.
 
-    The reference bakes texture albedo/specular into vertex kad/ks/ns via a
-    compute pass (`retrieveColors-comp.glsl:33-47`); without texture images
-    we bake the .mtl constants (Kd color, Ks scalar, Ns exponent), which is
-    what feeds the shininess/loss model (`reduceCollisions:140-142`).
+    The reference bakes texture albedo into vertex kad via a compute pass
+    before BVH build (`Model3D::retrieveColorsGPU`, Model3D.cpp:292-330;
+    `retrieveColors-comp.glsl:33-47`): kad = bilinear map_Kd sample at the
+    vertex UV.  NOTE the RELEASED kernel hardcodes ks = ns = 1 (the
+    map_Ks/map_Ns sampling lines are commented out, :42-45); here the
+    intended texture sampling is implemented and the .mtl constants remain
+    the fallback — strictly richer, with shininess still
+    clip(ks^ns * roughness) (`reduceCollisions:140-142`).
     """
 
     kd: tuple = (0.7, 0.7, 0.7)
     ks: float = 0.0
     ns: float = 1.0
+    map_kd: str | None = None
+    map_ks: str | None = None
+    map_ns: str | None = None
 
 
 def parse_mtl(path: str) -> dict[str, MtlMaterial]:
@@ -61,6 +68,7 @@ def parse_mtl(path: str) -> dict[str, MtlMaterial]:
     cur: MtlMaterial | None = None
     if not os.path.exists(path):
         return mats
+    base = os.path.dirname(path)
     with open(path, "r", errors="replace") as fh:
         for line in fh:
             parts = line.split()
@@ -79,7 +87,25 @@ def parse_mtl(path: str) -> dict[str, MtlMaterial]:
                              float(parts[3]))
             elif tag == "ns" and len(parts) >= 2:
                 cur.ns = float(parts[1])
+            elif tag in ("map_kd", "map_ks", "map_ns") and len(parts) >= 2:
+                # options (-s, -o, ...) may precede the filename
+                setattr(cur, tag, os.path.join(base, parts[-1]))
     return mats
+
+
+def _texture_cache_get(cache: dict, path: str):
+    """Decode a texture image once per scene load (PNG only; other formats
+    fall back to the .mtl constants with a warning)."""
+    if path not in cache:
+        try:
+            from .png import read_png
+            cache[path] = read_png(path)
+        except (OSError, ValueError) as exc:
+            import sys
+            print(f"warning: texture {path!r} unreadable ({exc}); "
+                  f"falling back to .mtl constants", file=sys.stderr)
+            cache[path] = None
+    return cache[path]
 
 
 def parse_obj(path: str, mtl_out: list | None = None) -> list[ObjComponent]:
@@ -225,7 +251,8 @@ class SceneBuilder:
                       material_map: dict[str, str] | None = None,
                       asprs_map: dict[str, str] | None = None,
                       semantic_map: dict[str, str] | None = None,
-                      mtl: "MtlMaterial | None" = None) -> int:
+                      mtl: "MtlMaterial | None" = None,
+                      texture_cache: dict | None = None) -> int:
         cid = len(self.comp_material)
         name_keys = [comp.name or ""]
         if comp.material_name:
@@ -267,9 +294,30 @@ class SceneBuilder:
                         else np.zeros((len(comp.vertices), 2), np.float32))
         nv = len(comp.vertices)
         mtl = mtl or MtlMaterial()
-        self.ks.append(np.full(nv, mtl.ks, np.float32))
-        self.ns.append(np.full(nv, mtl.ns, np.float32))
-        self.kad.append(np.tile(np.asarray(mtl.kd, np.float32), (nv, 1)))
+        uvs = (comp.uvs if comp.uvs is not None
+               else np.zeros((nv, 2), np.float32))
+        texture_cache = texture_cache if texture_cache is not None else {}
+
+        def bake(map_path, constant, channels):
+            """Sample a texture at the vertex UVs (`retrieveColorsGPU`,
+            baked once at load) or broadcast the .mtl constant."""
+            img = (_texture_cache_get(texture_cache, map_path)
+                   if map_path else None)
+            if img is None:
+                if channels == 1:
+                    return np.full(nv, constant, np.float32)
+                return np.tile(np.asarray(constant, np.float32), (nv, 1))
+            from .png import sample_bilinear
+            vals = sample_bilinear(img, uvs)
+            if channels == 1:
+                return vals[:, 0]
+            if vals.shape[1] < 3:
+                vals = np.repeat(vals[:, :1], 3, axis=1)
+            return vals[:, :3]
+
+        self.ks.append(bake(mtl.map_ks, mtl.ks, 1))
+        self.ns.append(bake(mtl.map_ns, mtl.ns, 1))
+        self.kad.append(bake(mtl.map_kd, mtl.kd, 3))
         self.comp_of_face.append(np.full(len(comp.faces), cid, np.int32))
         self.comp_material.append(MATERIAL_ID.get(mat_name, MATERIAL_ID["STONE"]))
         self.comp_surface.append(surface)
@@ -317,6 +365,7 @@ def load_obj_scene(path: str, *, use_cache: bool = True) -> TriangleScene:
 
 def load_obj_scenes(paths: list[str]) -> TriangleScene:
     builder = SceneBuilder()
+    texture_cache: dict = {}
     for path in paths:
         base = os.path.splitext(path)[0]
         material_map = read_sidecar(base + ".LiDARMaterial")
@@ -330,7 +379,8 @@ def load_obj_scenes(paths: list[str]) -> TriangleScene:
         for comp in comps:
             builder.add_component(
                 comp, material_map, asprs_map, semantic_map,
-                mtl=mtls.get(comp.material_name or ""))
+                mtl=mtls.get(comp.material_name or ""),
+                texture_cache=texture_cache)
     return builder.build()
 
 
