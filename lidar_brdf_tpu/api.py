@@ -72,19 +72,29 @@ def simulate_spectral(scene: TriangleScene, cfg: SensorConfig,
                       library: MaterialLibrary | None = None,
                       bvh: BVH | None = None) -> dict[int, PointCloud]:
     """Wavelength sweep: one simulation per nm in ``cfg.wavelength_nm``
-    (reference per-wavelength loop, `LiDARSimulation.cpp:303`: material
-    tables re-bound per lambda, point cloud archived between)."""
+    (reference per-wavelength loop, `LiDARSimulation.cpp:303`).
+
+    Like the reference — which re-binds only the per-wavelength material
+    SSBO (`prepareMaterialData`, cpp:428-437) — the sweep compiles ONCE and
+    re-binds the MaterialTable per lambda (tables are traced arguments).
+    Only a change of the *bathymetric* flag (green aerial wavelengths,
+    <533nm) starts a second program, since it changes the physics.
+    """
     library = library or MaterialLibrary.default()
     bvh = bvh if bvh is not None else build_scene_bvh(scene)
     rays = build_rays(cfg, scene)
     out: dict[int, PointCloud] = {}
+    sims: dict[bool, Simulator] = {}
     lo, hi = cfg.wavelength_nm
     for wl in range(int(lo), int(hi) + 1):
         materials = library.table_at(wl)
-        wl_cfg = cfg.with_(bathymetric=bool(
-            wl < 533 and cfg.lidar_type != LiDARType.TERRESTRIAL_SPHERICAL))
-        sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=wl_cfg)
-        out[wl] = sim.run(rays)
+        bathy = bool(wl < 533
+                     and cfg.lidar_type != LiDARType.TERRESTRIAL_SPHERICAL)
+        if bathy not in sims:
+            sims[bathy] = Simulator(scene=scene, bvh=bvh,
+                                    materials=materials,
+                                    cfg=cfg.with_(bathymetric=bathy))
+        out[wl] = sims[bathy].run(rays, materials=materials)
     return out
 
 

@@ -38,6 +38,12 @@ from ..geom.intersect import EPSILON
 LANES = 128          # rays per lane group
 CAND_BLOCK = 8       # candidates per sublane block
 INT_MISS = 2 ** 30          # python int: jnp constants must not be closure-captured
+# Scoped-VMEM ceiling: the ids block is (1, CB, 8, 128) i32 = CB * 4 KiB,
+# double-buffered by Mosaic.  Dense scenes (5M-tri terrain under a wide ALS
+# fan) produce buckets with C = 8192 (CB = 1024) whose blocks alone exceed
+# the 16 MiB scoped limit — such buckets run as chunked kernel passes whose
+# (t, face) results merge by nearest-t.
+MAX_CB = 448         # ids 3.5 MiB + rows 0.44 MiB, x2 buffered ~ 8 MiB
 
 
 def _kernel(bnd_ref, rays_ref, rows_ref, ids_ref, t_ref, f_ref, *,
@@ -242,22 +248,36 @@ class PallasCulledTraverser:
         f_all = jnp.full((T + 1, self.tile_rays), -1, jnp.int32)
         for tidx, cand, bnd in traverse_data:
             tidx_j = jnp.asarray(tidx)
-            cand_j = jnp.asarray(cand)
-            B, C = cand_j.shape
+            cand_full = jnp.asarray(cand)
+            bnd_full = jnp.asarray(bnd)
+            B, C = cand_full.shape
             safe = jnp.minimum(tidx_j, T - 1)
-            rows = self.wald[jnp.maximum(cand_j, 0)]               # (B, C, 12)
-            rows = jnp.where((cand_j >= 0)[..., None], rows, 0.0)
-            rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 4)))
-            CB = C // CAND_BLOCK
-            rows_blk = rows.reshape(B, CB, CAND_BLOCK, 16)
-            ids_blk = jnp.broadcast_to(
-                cand_j.reshape(B, CB, CAND_BLOCK, 1), (B, CB, CAND_BLOCK, 128))
-            t_b, f_b = _run(jnp.asarray(bnd)[:, None, :],
-                            rays_blk_all[safe], rows_blk,
-                            ids_blk, t_max=self.t_max,
-                            interpret=self.interpret)
-            t_tile = t_b.reshape(B, self.tile_rays)
-            f_tile = f_b.reshape(B, self.tile_rays)
+            rays_blk = rays_blk_all[safe]
+            t_tile = None
+            f_tile = None
+            # chunk fat candidate ladders to stay inside scoped VMEM
+            for s in range(0, C // CAND_BLOCK, MAX_CB):
+                cand_j = cand_full[:, s * CAND_BLOCK:(s + MAX_CB) * CAND_BLOCK]
+                CB = cand_j.shape[1] // CAND_BLOCK
+                rows = self.wald[jnp.maximum(cand_j, 0)]           # (B, c, 12)
+                rows = jnp.where((cand_j >= 0)[..., None], rows, 0.0)
+                rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 4)))
+                rows_blk = rows.reshape(B, CB, CAND_BLOCK, 16)
+                ids_blk = jnp.broadcast_to(
+                    cand_j.reshape(B, CB, CAND_BLOCK, 1),
+                    (B, CB, CAND_BLOCK, 128))
+                t_b, f_b = _run(bnd_full[:, None, s:s + CB],
+                                rays_blk, rows_blk,
+                                ids_blk, t_max=self.t_max,
+                                interpret=self.interpret)
+                t_c = t_b.reshape(B, self.tile_rays)
+                f_c = f_b.reshape(B, self.tile_rays)
+                if t_tile is None:
+                    t_tile, f_tile = t_c, f_c
+                else:      # merge chunk results by nearest t (misses = t_max)
+                    better = t_c < t_tile
+                    t_tile = jnp.where(better, t_c, t_tile)
+                    f_tile = jnp.where(better, f_c, f_tile)
             # kernel reports t_max for misses; normalize to (BIG, -1)
             miss = f_tile < 0
             t_tile = jnp.where(miss, BIG, t_tile)

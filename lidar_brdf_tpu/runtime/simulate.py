@@ -217,18 +217,20 @@ class Simulator:
                                 + abs(b0) + abs(b1) + 1.0)
 
     def run_chunk(self, rays: RayBundle, base_ray_index=0,
-                  traverse_data=None) -> PointCloud:
+                  traverse_data=None, materials=None) -> PointCloud:
+        materials = self.materials if materials is None else materials
         if traverse_data is not None:
             return self._jitted_culled(
-                self.scene, self.bvh, self.materials, rays, self.noise_buf,
+                self.scene, self.bvh, materials, rays, self.noise_buf,
                 self.scalars, base_ray_index=base_ray_index,
                 traverse_data=traverse_data)
-        return self._jitted(self.scene, self.bvh, self.materials, rays,
+        return self._jitted(self.scene, self.bvh, materials, rays,
                             self.noise_buf, self.scalars,
                             base_ray_index=base_ray_index)
 
     def run(self, rays: RayBundle, checkpoint_dir: str | None = None,
-            metrics=None) -> PointCloud:
+            metrics=None, materials: MaterialTable | None = None
+            ) -> PointCloud:
         """Chunked execution over all pulses; host-side concat + compact.
 
         With ``checkpoint_dir``, finished chunks are persisted and a
@@ -236,6 +238,10 @@ class Simulator:
         beam-culled path is active, pulses are processed in BSP order
         (reproducible; affects which noise-stream value each pulse draws,
         not the distribution — the output PointCloud is order-free).
+
+        ``materials`` overrides the bound MaterialTable WITHOUT recompiling
+        (tables are traced arguments) — the reference's per-wavelength
+        material SSBO re-bind (`LiDARSimulation.cpp:303,428-437`).
         """
         if self._culled_active and self.reorder is not False:
             rays = bsp_order(rays, self.block_pulses)
@@ -253,7 +259,7 @@ class Simulator:
             if ci < done:
                 continue
             hi = min(lo + chunk, P)
-            cloud = self._run_slice(rays, lo, hi, chunk, metrics)
+            cloud = self._run_slice(rays, lo, hi, chunk, metrics, materials)
             if ckpt is not None:
                 ckpt.save_chunk(ci, cloud)
             clouds.append(jax.tree.map(np.asarray, cloud))
@@ -263,7 +269,7 @@ class Simulator:
         return coherent_order(rays)
 
     def _run_slice(self, rays: RayBundle, lo: int, hi: int, chunk: int,
-                   metrics=None) -> PointCloud:
+                   metrics=None, materials=None) -> PointCloud:
         sl = jax.tree.map(lambda a: a[lo:hi], rays)
         if hi - lo < chunk:   # pad the tail chunk to the static shape
             pad = chunk - (hi - lo)
@@ -294,7 +300,8 @@ class Simulator:
         if metrics is not None:
             with metrics.stage("TOTAL") as m:
                 cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
-                                       traverse_data)
+                                       traverse_data, materials)
                 m["sync"] = cloud.intensity
             return cloud
-        return self.run_chunk(sl, lo * rays.rays_per_pulse, traverse_data)
+        return self.run_chunk(sl, lo * rays.rays_per_pulse, traverse_data,
+                              materials)

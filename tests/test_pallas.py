@@ -63,6 +63,27 @@ def test_pallas_t_max_cut(rng):
     assert (np.asarray(hit_near.face) == -1).all()
 
 
+def test_pallas_chunked_candidates_match(rng, monkeypatch):
+    """Fat buckets split into MAX_CB-block kernel passes (scoped-VMEM cap);
+    the nearest-t merge across chunks must equal the unchunked result."""
+    import lidar_brdf_tpu.kernels.traverse_pallas as tp
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    o, d = _fan_rays()
+    tr = PallasCulledTraverser(scene, tile_rays=LANES, interpret=True)
+    data = tr.prepare(tree, o, d, t_max=500.0)
+    assert any(c.shape[1] // CAND_BLOCK > 2 for _, c, _ in data), \
+        "scene too sparse to exercise chunking"
+    hit_full = tr(jnp.asarray(o), jnp.asarray(d), data)
+    monkeypatch.setattr(tp, "MAX_CB", 2)     # force many chunks per bucket
+    hit_chunked = tr(jnp.asarray(o), jnp.asarray(d), data)
+    np.testing.assert_array_equal(np.asarray(hit_full.face),
+                                  np.asarray(hit_chunked.face))
+    np.testing.assert_allclose(np.asarray(hit_full.t),
+                               np.asarray(hit_chunked.t), rtol=1e-6)
+
+
 def test_pallas_tile_rays_must_align():
     scene = synthetic.terrain_with_boxes(np.random.default_rng(0), num_boxes=1)
     with pytest.raises(ValueError):
