@@ -18,8 +18,11 @@ from dataclasses import dataclass, field
 
 import jax
 
-STAGES = ["RAY_BUILDING", "TRAVERSE", "RETURNS", "INTENSITY", "READBACK",
-          "WRITE", "TOTAL"]
+# Stage names mirror the reference's PipelineMetrics enum
+# (`PipelineMetrics.h:19-30`); TRAVERSE_PREP is the host beam-culling pass
+# that has no reference counterpart (the GPU traverses per ray instead).
+STAGES = ["RAY_BUILDING", "TRAVERSE_PREP", "FIND_COLLISION", "REDUCE",
+          "INTENSITY", "READ", "WRITE", "TOTAL"]
 
 
 @dataclass

@@ -268,6 +268,96 @@ class Simulator:
     def coherent_order(self, rays: RayBundle) -> RayBundle:
         return coherent_order(rays)
 
+    def benchmark(self, rays: RayBundle, num_execs: int = 5,
+                  discard_first: bool = True):
+        """numExecs repetition mode with per-stage mean±std.
+
+        The reference loops `_numExecs` executions with first-run discard
+        and brackets each pipeline stage with chrono timers
+        (`LiDARSimulation.cpp:292-365`, `PipelineMetrics.h:19-30`).  Under
+        XLA, stages inside ONE jit cannot be bracketed, so benchmark mode
+        additionally times each stage as its own jitted program
+        (FIND_COLLISION / REDUCE / INTENSITY) alongside the fused TOTAL —
+        per-stage numbers are slightly pessimistic (fusion across stage
+        boundaries is lost) but directly comparable to the reference's.
+
+        One chunk (the first ``cfg.chunk_pulses`` pulses) is measured.
+        Returns a populated PipelineMetrics.
+        """
+        from .metrics import PipelineMetrics
+        from ..physics.returns import simulate_returns
+        from ..physics.shading import shade_records
+
+        metrics = PipelineMetrics(discard_first=discard_first)
+        P = min(self.cfg.chunk_pulses, rays.num_pulses)
+
+        # retraverse scenes (water/bathymetric) re-walk the tree for bounce
+        # levels, so the hits-injection REDUCE/INTENSITY split below is only
+        # semantically valid on the single-traversal fast path
+        retraverse = self.scene_has_water or self.cfg.bathymetric
+        stage_returns = jax.jit(
+            lambda scene, bvh, mats, rays_, noise, scalars, hits:
+            simulate_returns(scene, bvh, mats, rays_, noise, scalars,
+                             self.cfg, traverse_fn=lambda o, d: hits,
+                             scene_has_water=self.scene_has_water))
+        stage_shade = jax.jit(
+            lambda scene, mats, records, fo, scalars:
+            shade_records(scene, mats, records, fo, scalars, self.cfg,
+                          rays.rays_per_pulse))
+        traverse_culled = jax.jit(lambda o, d, td: self._culler(o, d, td)) \
+            if self._culled_active else None
+        from ..geom.packet import intersect_packed_scene, pack_scene
+        packed = pack_scene(self.scene, self.bvh)
+        traverse_packet = jax.jit(
+            lambda o, d: intersect_packed_scene(packed, o, d))
+
+        for _ in range(num_execs):
+            with metrics.stage("RAY_BUILDING"):
+                if self._culled_active and self.reorder is not False:
+                    rs = bsp_order(jax.tree.map(lambda a: a[:P], rays),
+                                   self.block_pulses)
+                else:
+                    rs = jax.tree.map(lambda a: a[:P], rays)
+            data = None
+            if self._culled_active:
+                o_np = np.asarray(rs.origin)
+                d_np = np.asarray(rs.direction)
+                with metrics.stage("TRAVERSE_PREP"):
+                    if self._culler.beams_ok(o_np, d_np):
+                        data = self._culler.prepare(self.bvh, o_np, d_np,
+                                                    t_max=self._t_max)
+            with metrics.stage("FIND_COLLISION") as m:
+                if data is not None:
+                    hits = traverse_culled(jnp.asarray(rs.origin),
+                                           jnp.asarray(rs.direction), data)
+                else:
+                    hits = traverse_packet(jnp.asarray(rs.origin),
+                                           jnp.asarray(rs.direction))
+                m["sync"] = hits.t
+            if not retraverse:
+                with metrics.stage("REDUCE") as m:
+                    (records, outliers, num_returns,
+                     final_origin) = stage_returns(
+                        self.scene, self.bvh, self.materials, rs,
+                        self.noise_buf, self.scalars, hits)
+                    m["sync"] = records.distance
+                L = records.mask.shape[0]
+                w = records.winner_ray.reshape(L, P, 1, 1)
+                fo = jnp.take_along_axis(
+                    jnp.broadcast_to(final_origin[None],
+                                     (L,) + final_origin.shape),
+                    jnp.maximum(w, 0), axis=2)[:, :, 0, :]
+                with metrics.stage("INTENSITY") as m:
+                    intensity = stage_shade(self.scene, self.materials,
+                                            records, fo, self.scalars)
+                    m["sync"] = intensity
+            with metrics.stage("TOTAL") as m:
+                cloud = self.run_chunk(rs, 0, data)
+                m["sync"] = cloud.intensity
+            with metrics.stage("READ"):
+                jax.tree.map(np.asarray, cloud)
+        return metrics
+
     def _run_slice(self, rays: RayBundle, lo: int, hi: int, chunk: int,
                    metrics=None, materials=None) -> PointCloud:
         sl = jax.tree.map(lambda a: a[lo:hi], rays)

@@ -118,3 +118,24 @@ def test_simulator_wide_beam_fallback(rng):
         np.sort(np.asarray(cloud.intensity)[np.asarray(cloud.mask)]),
         np.sort(np.asarray(ref.intensity)[np.asarray(ref.mask)]),
         rtol=1e-5, atol=1e-8)
+
+
+def test_benchmark_numexecs_per_stage(rng):
+    """`Simulator.benchmark`: the reference's numExecs repetition mode with
+    first-run discard and per-stage mean±std (`LiDARSimulation.cpp:292-365`,
+    `PipelineMetrics.h:19-30`).  At least 4 real pipeline stages must carry
+    num_execs samples each."""
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=192)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    metrics = sim.benchmark(rays, num_execs=3, discard_first=True)
+    report = metrics.report()
+    real = [s for s in ("RAY_BUILDING", "FIND_COLLISION", "REDUCE",
+                        "INTENSITY", "TOTAL", "READ")
+            if len(metrics.samples.get(s, [])) == 3]
+    assert len(real) >= 4, report
+    for s in real:
+        assert metrics.mean(s) > 0.0
+        # discard_first keeps num_execs - 1 samples
+        assert len(metrics._kept(s)) == 2
+    assert metrics.mean("TOTAL") >= metrics.mean("INTENSITY")
+    assert "TOTAL" in report and "FIND_COLLISION" in report
