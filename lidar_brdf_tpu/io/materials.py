@@ -62,9 +62,69 @@ ANALYTIC_MODEL = {
     "WOOD": BRDFModel.WARD_ANISOTROPIC,
 }
 
-# Compact refractive-index spectra n(lambda[nm]) — control points from
-# standard optical-constant tables (the reference ships fuller versions of
-# the same public data and spline-fits them; we linearly interpolate).
+# Default measured-BRDF pairing: LiDAR material -> RGL/EPFL measured
+# material, the reference's `Assets/LiDAR/Reflectivity/Reflectivity.txt`
+# mapping applied by `MaterialDatabase::loadReflectivityMap`
+# (MaterialDatabase.cpp:69-99).  The reference appends "_spec" at lookup
+# (`_brdfDatabase.lookUpMaterial(materialName + "_spec")`); `with_measured`
+# tries the suffixed name first, then the bare one.
+REFLECTIVITY_MEASURED_MAP: dict[str, str] = {
+    "AIR": "colodur_azure_4e",
+    "ALUMINIUM": "aniso_brushed_aluminium_1",
+    "COPPER": "aniso_metallic_paper_copper",
+    "CRYSTAL_GLASS": "acrylic_felt_white",
+    "DIAMOND": "vch_ultra_pink",
+    "FABRIC": "aniso_morpho_melenaus",
+    "GEMS": "vch_ultra_pink",
+    "GOLD": "vch_golden_yellow",
+    "IRON": "weta_brushed_steel_satin_pink",
+    "LEAF": "leaf_maple",
+    "MATTE": "colodur_napoli_4f",
+    "PAINT": "acrylic_felt_white",
+    "PLASTIC": "aniso_green_pvc",
+    "SILVER": "cc_ibiza_sunset",
+    "STONE": "cm_white",
+    "WATER": "irid_flake_paint1",
+    "DARK_STONE": "colodur_napoli_4f",
+    "WOOD": "cardboard",
+    "DARK_WOOD": "leaf_maple",
+    "DARK_IRON": "chm_light_blue",
+    "DARK_PLASTIC": "ilm_aniso_darth_vader_pants",
+}
+
+# Bundled full-resolution refractive-index dataset (public optical-constant
+# tables — refractiveindex.info et al. — which the reference redistributes
+# as Assets/LiDAR/RefractiveIndex/*.txt).  Built from the reference file
+# format by scripts/build_refractive_npz.py; loaded lazily.
+_BUNDLED_SPECTRA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "refractive_index.npz")
+_bundled_spectra_cache: dict[str, list[tuple[float, float]]] | None = None
+
+
+def bundled_spectra() -> dict[str, list[tuple[float, float]]]:
+    """The packaged n(lambda) dataset as {material: [(wl_nm, n), ...]}.
+
+    Empty dict if the data file is absent (source checkouts always ship it;
+    the compact `REFRACTIVE_SPECTRA` sketches then apply)."""
+    global _bundled_spectra_cache
+    if _bundled_spectra_cache is None:
+        spectra: dict[str, list[tuple[float, float]]] = {}
+        if os.path.exists(_BUNDLED_SPECTRA_PATH):
+            blob = np.load(_BUNDLED_SPECTRA_PATH, allow_pickle=False)
+            names, offsets = blob["names"], blob["offsets"]
+            wl, n = blob["wl_nm"], blob["n"]
+            for i, name in enumerate(names):
+                lo, hi = offsets[i], offsets[i + 1]
+                spectra[str(name)] = list(zip(wl[lo:hi].tolist(),
+                                              n[lo:hi].tolist()))
+        _bundled_spectra_cache = spectra
+    return _bundled_spectra_cache
+
+
+# Compact refractive-index spectra n(lambda[nm]) — fallback control points
+# from the same public optical-constant tables, used only when the bundled
+# full-resolution dataset (data/refractive_index.npz) is missing.
 REFRACTIVE_SPECTRA: dict[str, list[tuple[float, float]]] = {
     "AIR": [(400, 1.0003), (1600, 1.0003)],
     "ALUMINIUM": [(400, 0.49), (600, 1.2), (900, 2.06), (1100, 1.26), (1600, 1.6)],
@@ -174,8 +234,9 @@ class MaterialLibrary:
     @staticmethod
     def default(refractive_index_dir: str | None = None) -> "MaterialLibrary":
         spectra = []
+        bundled = bundled_spectra()
         for name in MATERIAL_NAMES:
-            spec = REFRACTIVE_SPECTRA[name]
+            spec = bundled.get(name) or REFRACTIVE_SPECTRA[name]
             if refractive_index_dir:
                 path = os.path.join(refractive_index_dir, f"{name}.txt")
                 if os.path.exists(path):
@@ -202,20 +263,26 @@ class MaterialLibrary:
 
         ``folder`` holds `*.bsdf` tensor files (or a prebuilt
         `database.npz` cache); ``reflectivity_map`` maps our material names
-        to measured-material names — the reference's `Reflectivity.txt`
-        mapping (e.g. LEAF -> leaf_maple, `MaterialDatabase.cpp:69-99`).
-        Unmapped materials keep their synthetic tables.
+        to measured-material names and defaults to the reference's
+        `Reflectivity.txt` pairing (REFLECTIVITY_MEASURED_MAP, e.g.
+        LEAF -> leaf_maple, `MaterialDatabase.cpp:69-99`).  Like the
+        reference's `lookUpMaterial(name + "_spec")`, the "_spec"-suffixed
+        database entry is preferred.  Unmapped materials keep their
+        synthetic tables.
         """
         from .rgl_bsdf import BRDFDatabase
         db = BRDFDatabase(folder)
-        reflectivity_map = reflectivity_map or {}
+        if reflectivity_map is None:
+            reflectivity_map = REFLECTIVITY_MEASURED_MAP
         W = len(db.wavelengths)
         spectral = np.empty((W, len(self.names), 360, 91), np.float32)
         spectral[:] = self.tables[None]
         for i, name in enumerate(self.names):
             measured = reflectivity_map.get(name, name)
-            if measured in db.names:
-                spectral[:, i] = db.tables[db.material_id(measured)]
+            for candidate in (measured + "_spec", measured):
+                if candidate in db.names:
+                    spectral[:, i] = db.tables[db.material_id(candidate)]
+                    break
         import dataclasses
         return dataclasses.replace(
             self, table_wavelengths=np.asarray(db.wavelengths),

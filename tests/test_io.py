@@ -139,3 +139,23 @@ def test_match_keyword_longest_wins():
     assert mats.match_keyword("my_dark_wood_table", m) == "DARK_WOOD"
     assert mats.match_keyword("woodwork", m) == "WOOD"
     assert mats.match_keyword("metal", m) is None
+
+
+def test_bundled_spectra_ship_full_resolution():
+    """The packaged dataset (data/refractive_index.npz) provides the 17
+    full public optical-constant tables the reference redistributes."""
+    bundled = mats.bundled_spectra()
+    assert len(bundled) == 17
+    # full tables, not the 2-5 point fallback sketches
+    assert len(bundled["WATER"]) > 100
+    assert len(bundled["GOLD"]) >= 200
+    # default() consumes them
+    lib = mats.MaterialLibrary.default()
+    water = mats.MATERIAL_ID["WATER"]
+    assert len(lib.spectra[water]) > 100
+    t = lib.table_at(1064)
+    assert abs(float(t.refractive_index[water]) - 1.324) < 0.004
+    gold = mats.MATERIAL_ID["GOLD"]
+    assert float(t.refractive_index[gold]) < 1.0   # Au n(1064nm) ~ 0.26
+    air = mats.MATERIAL_ID["AIR"]
+    assert abs(float(t.refractive_index[air]) - 1.0003) < 5e-4

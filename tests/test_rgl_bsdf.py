@@ -97,3 +97,23 @@ def test_material_library_with_measured(tmp_path):
     assert not np.allclose(np.asarray(mt.brdf_table)[leaf], lib.tables[leaf])
     np.testing.assert_array_equal(np.asarray(mt.brdf_table)[other],
                                   lib.tables[other])
+
+
+def test_with_measured_default_reflectivity_map(tmp_path):
+    """No-map with_measured applies the reference's Reflectivity.txt pairing
+    (MaterialDatabase.cpp:69-99), preferring the "_spec"-suffixed database
+    entry like `lookUpMaterial(name + "_spec")`."""
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    R.synthetic_tensor_file(str(tmp_path / "leaf_maple_spec.bsdf"),
+                            diffuse=0.5, seed=3)
+    R.synthetic_tensor_file(str(tmp_path / "cardboard.bsdf"),
+                            diffuse=0.8, seed=4)
+    lib = MaterialLibrary.default().with_measured(str(tmp_path))
+    mt = lib.table_at(700.0)
+    leaf = lib.names.index("LEAF")     # -> leaf_maple(_spec)
+    wood = lib.names.index("WOOD")     # -> cardboard (bare fallback)
+    stone = lib.names.index("STONE")   # -> cm_white (absent: untouched)
+    assert not np.allclose(np.asarray(mt.brdf_table)[leaf], lib.tables[leaf])
+    assert not np.allclose(np.asarray(mt.brdf_table)[wood], lib.tables[wood])
+    np.testing.assert_array_equal(np.asarray(mt.brdf_table)[stone],
+                                  lib.tables[stone])
