@@ -7,6 +7,8 @@ a pure function: scene + config -> point cloud, plus builder helpers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 
@@ -136,28 +138,45 @@ def loss_curve(cfg: SensorConfig, num_samples: int = 256) -> tuple:
 def simulate_tls_path(scene: TriangleScene, cfg: SensorConfig,
                       positions: np.ndarray,
                       materials: MaterialTable | None = None,
-                      bvh: BVH | None = None) -> list[PointCloud]:
+                      bvh: BVH | None = None,
+                      out_dir: str | None = None) -> list[PointCloud]:
     """TLS multi-position simulation along a path of scan positions.
 
     Reference `LiDARSimulation::launchMultipleSimulations`
     (LiDARSimulation.cpp:211-286): per waypoint, scan with position =
-    waypoint and direction toward the next waypoint; one cloud per position
-    (the reference writes `Results/Paths/TLS/<i>.ply` and archives between).
+    waypoint and direction toward the next waypoint; one cloud per position.
+    With ``out_dir``, each cloud is written to ``<out_dir>/<i>.ply`` on a
+    background writer thread while the next waypoint simulates — the
+    reference's detached-thread save (`Results/Paths/TLS/<i>.ply`,
+    LiDARPointCloud.cpp:56-61).
     """
     positions = np.asarray(positions, np.float32)
     if materials is None:
         materials = MaterialLibrary.default().table_at(cfg.wavelength_nm[0])
     bvh = bvh if bvh is not None else build_scene_bvh(scene)
+    writer = None
+    if out_dir is not None:
+        from .io.ply import AsyncPlyWriter
+        os.makedirs(out_dir, exist_ok=True)
+        writer = AsyncPlyWriter()
     clouds = []
-    for i, pos in enumerate(positions):
-        if i + 1 < len(positions):
-            direction = positions[i + 1] - pos
-        else:
-            direction = np.zeros(3, np.float32)
-        pos_cfg = cfg.with_(tls_position=tuple(float(x) for x in pos),
-                            tls_direction=tuple(float(x) for x in direction))
-        rays = build_rays(pos_cfg, scene)
-        sim = Simulator(scene=scene, bvh=bvh, materials=materials,
-                        cfg=pos_cfg)
-        clouds.append(sim.run(rays))
+    try:
+        for i, pos in enumerate(positions):
+            if i + 1 < len(positions):
+                direction = positions[i + 1] - pos
+            else:
+                direction = np.zeros(3, np.float32)
+            pos_cfg = cfg.with_(
+                tls_position=tuple(float(x) for x in pos),
+                tls_direction=tuple(float(x) for x in direction))
+            rays = build_rays(pos_cfg, scene)
+            sim = Simulator(scene=scene, bvh=bvh, materials=materials,
+                            cfg=pos_cfg)
+            cloud = sim.run(rays)
+            clouds.append(cloud)
+            if writer is not None:
+                writer.submit(os.path.join(out_dir, f"{i}.ply"), cloud)
+    finally:
+        if writer is not None:
+            writer.close()
     return clouds

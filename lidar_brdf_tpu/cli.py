@@ -35,7 +35,7 @@ def cmd_simulate(args) -> int:
     from .api import simulate_spectral
     from .core.config import SensorConfig, get_preset
     from .io.materials import MaterialLibrary
-    from .io.ply import write_ply
+    from .io.ply import AsyncPlyWriter
 
     if args.config:
         with open(args.config) as fh:
@@ -76,12 +76,16 @@ def cmd_simulate(args) -> int:
 
     base, ext = os.path.splitext(args.out)
     ext = ext or ".ply"
+    paths = {wl: (args.out if len(clouds) == 1 else f"{base}_{wl}{ext}")
+             for wl in clouds}
+    with AsyncPlyWriter() as writer:   # overlap compaction/IO across files
+        for wl, cloud in clouds.items():
+            writer.submit(paths[wl], cloud)
+        counts = writer.join()
     total = 0
-    for wl, cloud in clouds.items():
-        path = args.out if len(clouds) == 1 else f"{base}_{wl}{ext}"
-        n = write_ply(path, cloud)
+    for (wl, _), n in zip(clouds.items(), counts):
         total += n
-        print(f"wrote {n} points -> {path}", file=sys.stderr)
+        print(f"wrote {n} points -> {paths[wl]}", file=sys.stderr)
     print(f"simulated {total} points in {dt:.2f}s", file=sys.stderr)
     return 0
 

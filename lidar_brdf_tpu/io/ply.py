@@ -98,6 +98,58 @@ def write_ply(path: str, cloud: PointCloud, *, compact: bool = True) -> int:
     return n
 
 
+class AsyncPlyWriter:
+    """Background PLY writer: compaction + file IO off the simulation thread.
+
+    Equivalent of the reference's detached writer thread
+    (`LiDARPointCloud::save`, LiDARPointCloud.cpp:56-61: `std::thread(...)
+    .detach()`), but joinable so callers can propagate errors and counts.
+    Used by the TLS multi-position path loop and the spectral sweep, where
+    the next waypoint/wavelength simulates while the previous cloud writes.
+
+        with AsyncPlyWriter() as w:
+            for i, cloud in enumerate(clouds):
+                w.submit(f"out_{i}.ply", cloud)
+        counts = w.results()   # after the `with` block: all writes joined
+    """
+
+    def __init__(self, max_workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="ply-writer")
+        self._futures: list = []
+
+    def submit(self, path: str, cloud: PointCloud, *, compact: bool = True):
+        """Queue one write; returns its Future (resolves to point count)."""
+        fut = self._pool.submit(write_ply, path, cloud, compact=compact)
+        self._futures.append(fut)
+        return fut
+
+    def join(self) -> list[int]:
+        """Wait for all queued writes; returns counts, re-raises the first
+        writer error."""
+        counts = [f.result() for f in self._futures]
+        self._futures = []
+        return counts
+
+    def results(self) -> list[int]:
+        return self.join()
+
+    def close(self) -> list[int]:
+        counts = self.join()
+        self._pool.shutdown(wait=True)
+        return counts
+
+    def __enter__(self) -> "AsyncPlyWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:                      # don't mask the in-flight exception
+            self._pool.shutdown(wait=False, cancel_futures=True)
+
+
 def read_ply(path: str) -> dict[str, np.ndarray]:
     """Read a PLY written by `write_ply` (tests / tooling)."""
     with open(path, "rb") as fh:

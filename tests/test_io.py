@@ -159,3 +159,62 @@ def test_bundled_spectra_ship_full_resolution():
     assert float(t.refractive_index[gold]) < 1.0   # Au n(1064nm) ~ 0.26
     air = mats.MATERIAL_ID["AIR"]
     assert abs(float(t.refractive_index[air]) - 1.0003) < 5e-4
+
+
+def test_async_ply_writer(rng, tmp_path):
+    """AsyncPlyWriter produces byte-identical files to write_ply, joins all
+    pending writes on close, and propagates writer errors."""
+    import pytest
+
+    from lidar_brdf_tpu.api import simulate
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode)
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=1)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 8.0, 0.0),
+        tls_resolution_horizontal=16, tls_resolution_vertical=8,
+        tls_fov_vertical=80.0, tls_middle_angle_vertical=-40.0,
+        rays_per_pulse=1, max_returns=1, chunk_pulses=128,
+        shading_mode=ShadingMode.LAMBERTIAN,
+        include_shiny_surface_error=False)
+    cloud = simulate(scene, cfg)
+    n_sync = ply_mod.write_ply(str(tmp_path / "sync.ply"), cloud)
+    with ply_mod.AsyncPlyWriter() as w:
+        f0 = w.submit(str(tmp_path / "async0.ply"), cloud)
+        w.submit(str(tmp_path / "async1.ply"), cloud)
+        counts = w.join()
+    assert counts == [n_sync, n_sync] and f0.result() == n_sync
+    assert (tmp_path / "sync.ply").read_bytes() == \
+        (tmp_path / "async0.ply").read_bytes()
+    # error propagation: unwritable path surfaces at join()
+    w2 = ply_mod.AsyncPlyWriter()
+    w2.submit(str(tmp_path / "no_such_dir" / "x.ply"), cloud)
+    with pytest.raises(OSError):
+        w2.join()
+    w2._pool.shutdown(wait=False)
+
+
+def test_simulate_tls_path_writes_per_waypoint(rng, tmp_path):
+    """simulate_tls_path(out_dir=...) dumps <i>.ply per waypoint on the
+    background writer (reference Results/Paths/TLS/<i>.ply,
+    LiDARPointCloud.cpp:56-61)."""
+    from lidar_brdf_tpu.api import simulate_tls_path
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode)
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=1)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 8.0, 0.0),
+        tls_resolution_horizontal=16, tls_resolution_vertical=8,
+        tls_fov_vertical=80.0, tls_middle_angle_vertical=-40.0,
+        rays_per_pulse=1, max_returns=1, chunk_pulses=128,
+        shading_mode=ShadingMode.LAMBERTIAN,
+        include_shiny_surface_error=False)
+    positions = np.array([[0, 8, 0], [4, 8, 0], [4, 8, 4]], np.float32)
+    out = tmp_path / "paths"
+    clouds = simulate_tls_path(scene, cfg, positions, out_dir=str(out))
+    assert len(clouds) == 3
+    for i, cloud in enumerate(clouds):
+        back = ply_mod.read_ply(str(out / f"{i}.ply"))
+        assert len(back["x"]) == int(np.asarray(cloud.mask).sum())
