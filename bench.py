@@ -139,6 +139,7 @@ def main():
     if os.environ.get("BENCH_FORCE_CPU"):   # smoke-testing the harness
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
     from lidar_brdf_tpu.kernels.traverse_pallas import PallasCulledTraverser
     from lidar_brdf_tpu.runtime.simulate import bsp_order, simulate_chunk
 
@@ -151,13 +152,20 @@ def main():
     scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
         config, num_pulses, rays_per_pulse, spec["max_returns"],
         spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
-    # Beam-culled traversal prep (host, once per scan — reused every step):
-    # BSP-order pulses into coherent tiles, collect per-tile candidates.
+    # Beam-culled traversal prep (host, once per scan — reused every step).
+    # Default: per-PULSE candidate ladders (narrow cones -> near-minimal
+    # candidate sets, pre-packed device arrays).  BENCH_TRAVERSER=tile
+    # selects the coarser 640-ray tile scheme for comparison.
     block_pulses = max(1, 640 // rays_per_pulse)
     rays = bsp_order(rays, block_pulses)
-    traverser = PallasCulledTraverser(
-        scene, tile_rays=block_pulses * rays_per_pulse,
-        interpret=jax.default_backend() == "cpu")
+    if os.environ.get("BENCH_TRAVERSER", "pulse") == "tile":
+        traverser = PallasCulledTraverser(
+            scene, tile_rays=block_pulses * rays_per_pulse,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        traverser = PulseLadderTraverser(
+            scene, rays_per_pulse=rays_per_pulse,
+            interpret=jax.default_backend() == "cpu")
     buckets = traverser.prepare(
         bvh, np.asarray(rays.origin), np.asarray(rays.direction),
         t_max=float(cfg.max_range) * 1.2)

@@ -145,14 +145,18 @@ class Simulator:
     concatenated on host.
 
     Traversal strategy (fastest first):
-      * beam-culled dense intersection (`geom/beamcull.py`) — default for
-        water-free scenes: pulses are BSP-reordered into coherent blocks
-        (point clouds are order-free), per-chunk candidate lists are built
-        on the host, and the device does pure dense vector math.
+      * per-pulse candidate ladders (`kernels/pulse_pallas.py`) — default
+        on TPU: each pulse's narrow cone is culled against the BVH on the
+        host once per chunk; pre-packed ladders make the device step pure
+        arithmetic.
+      * beam-culled dense intersection (`geom/beamcull.py`) — default on
+        CPU for water-free scenes: pulses are BSP-reordered into coherent
+        640-ray blocks (point clouds are order-free), per-chunk candidate
+        lists are built on the host, and the device does dense vector math.
       * packet traversal (`geom/packet.py`) — water/bathymetric scenes
         (refracted re-traversals need the full tree) and explicit opt-out.
-      * Pallas kernel — explicit opt-in via ``use_pallas`` (interpret mode
-        on CPU).
+      * Pallas tile kernel — explicit opt-in via ``use_pallas`` (interpret
+        mode on CPU).
     """
 
     scene: TriangleScene
@@ -160,7 +164,8 @@ class Simulator:
     materials: MaterialTable
     cfg: SensorConfig
     traverse_fn: object = None
-    use_pallas: bool | None = None    # explicit opt-in only
+    use_pulse: bool | None = None     # None = auto (TPU backends)
+    use_pallas: bool | None = None    # explicit opt-in only (tile kernel)
     use_culled: bool | None = None    # None = auto (water-free scenes)
     reorder: bool | None = None       # None = auto (when culled is active)
 
@@ -187,12 +192,21 @@ class Simulator:
             static_argnames=())
         if self._culled_active:
             rpp = max(self.cfg.rays_per_pulse, 1)
-            # Pallas kernel on real TPU (the axon plugin names the tunnel
+            # Pallas kernels on real TPU (the axon plugin names the tunnel
             # backend after itself); XLA dense path elsewhere.
             on_tpu = jax.default_backend() in ("tpu", "axon")
+            pick_pulse = (self.use_pulse if self.use_pulse is not None
+                          else on_tpu and not self.use_pallas)
             pick_pallas = (self.use_pallas if self.use_pallas is not None
                            else on_tpu)
-            if pick_pallas:
+            if pick_pulse:
+                from ..kernels.pulse_pallas import PulseLadderTraverser
+                self.block_pulses = max(1, 640 // rpp)
+                self._culler = PulseLadderTraverser(
+                    self.scene, rays_per_pulse=rpp, interpret=not on_tpu)
+                if self.reorder is None:     # per-pulse ladders don't need
+                    self.reorder = False     # block coherence
+            elif pick_pallas:
                 import math
                 from ..kernels.traverse_pallas import PallasCulledTraverser
                 step = 128 // math.gcd(128, rpp)     # tile_rays % 128 == 0

@@ -14,6 +14,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o liblidar_native.so
 //        lidar_native.cpp   (see build.py)
 
+#include <cmath>
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
@@ -321,6 +322,8 @@ int lbt_parse_obj_fill(float* vertices, int32_t* faces,
   g_last_obj = nullptr;
   return 0;
 }
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Beam culling: per-tile candidate collection over the threaded LBVH.

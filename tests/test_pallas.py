@@ -118,3 +118,122 @@ def test_simulator_use_pallas_interpret(rng):
     ip = np.sort(np.asarray(cloud_p.intensity)[np.asarray(cloud_p.mask)])
     ix = np.sort(np.asarray(cloud_x.intensity)[np.asarray(cloud_x.mask)])
     np.testing.assert_allclose(ip, ix, rtol=1e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Per-pulse ladder kernel (kernels/pulse_pallas.py)
+# ---------------------------------------------------------------------------
+
+def test_pulse_ladder_matches_brute(rng):
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    o, d = _fan_rays()                       # 256 rays
+    R = 4                                    # -> 64 pulses of 4 rays
+    oP = o.reshape(-1, R, 3)
+    dP = d.reshape(-1, R, 3)
+    tr = PulseLadderTraverser(scene, rays_per_pulse=R, interpret=True)
+    data = tr.prepare(tree, o, d, t_max=500.0)
+    hit = tr(jnp.asarray(oP), jnp.asarray(dP), data)
+    brute = intersect_brute(scene, jnp.asarray(o), jnp.asarray(d))
+    hc = np.asarray(hit.face).reshape(-1) >= 0
+    hb = np.asarray(brute.face) >= 0
+    assert (hc == hb).all()
+    np.testing.assert_allclose(np.asarray(hit.t).reshape(-1)[hc],
+                               np.asarray(brute.t)[hb],
+                               rtol=1e-4, atol=1e-4)
+    # winner faces agree except at edge/corner near-ties, where the Wald
+    # and Moller-Trumbore formulations round the shared-edge t differently
+    fk = np.asarray(hit.face).reshape(-1)[hc]
+    fb = np.asarray(brute.face)[hb]
+    tb = np.asarray(brute.t)[hb]
+    diff = fk != fb
+    if diff.any():
+        tk = np.asarray(hit.t).reshape(-1)[hc]
+        np.testing.assert_allclose(tk[diff], tb[diff], rtol=1e-3, atol=1e-3)
+        assert diff.mean() < 0.05
+
+
+def test_pulse_ladder_chunked_matches(rng, monkeypatch):
+    import lidar_brdf_tpu.kernels.pulse_pallas as pp
+    scene = synthetic.rough_terrain(rng, num_tris=20_000, half=30.0)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    # grazing fan: shallow elevations sweep long terrain strips -> fat
+    # ladders that exercise the KB chunk loop
+    o0 = np.array([0.0, 3.0, 0.0], np.float32)
+    az = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    el = np.linspace(-0.25, -0.02, 16)
+    aa, ee = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(ee) * np.cos(aa), np.sin(ee),
+                  np.cos(ee) * np.sin(aa)], -1).reshape(-1, 3)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    o = np.broadcast_to(o0, d.shape).copy()
+    R = 2
+    tr = pp.PulseLadderTraverser(scene, rays_per_pulse=R, interpret=True)
+    data = tr.prepare(tree, o, d, t_max=500.0)
+    assert any(r.shape[1] > 1 for _, r, _ in data), \
+        "scene too sparse to exercise KB chunking"
+    hit_full = tr(jnp.asarray(o.reshape(-1, R, 3)),
+                  jnp.asarray(d.reshape(-1, R, 3)), data)
+    monkeypatch.setattr(pp, "MAX_KB", 1)
+    hit_chunked = tr(jnp.asarray(o.reshape(-1, R, 3)),
+                     jnp.asarray(d.reshape(-1, R, 3)), data)
+    np.testing.assert_array_equal(np.asarray(hit_full.face),
+                                  np.asarray(hit_chunked.face))
+    np.testing.assert_allclose(np.asarray(hit_full.t),
+                               np.asarray(hit_chunked.t), rtol=1e-6)
+
+
+def test_pulse_ladder_t_max_cut(rng):
+    from lidar_brdf_tpu.kernels.pulse_pallas import (LANES,
+                                                     PulseLadderTraverser)
+    verts = np.array([[-1, -1, 50], [1, -1, 50], [0, 1, 50]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    scene = synthetic.scene_from_arrays(verts, faces)
+    tree = bvh_mod.build_bvh(verts, faces)
+    o = np.zeros((LANES, 3), np.float32)
+    d = np.tile(np.array([0, 0, 1], np.float32), (LANES, 1))
+    tr = PulseLadderTraverser(scene, rays_per_pulse=1, interpret=True)
+    hit_far = tr(jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+                 tr.prepare(tree, o, d, t_max=100.0))
+    assert (np.asarray(hit_far.face) == 0).all()
+    hit_near = tr(jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+                  tr.prepare(tree, o, d, t_max=10.0))
+    assert (np.asarray(hit_near.face) == -1).all()
+
+
+def test_simulator_use_pulse_interpret(rng):
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
+                                            ShadingMode)
+    from lidar_brdf_tpu.io.materials import MaterialLibrary
+    from lidar_brdf_tpu.runtime.simulate import Simulator
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=4)
+    bvh = build_scene_bvh(scene)
+    cfg = SensorConfig(
+        lidar_type=LiDARType.TERRESTRIAL_SPHERICAL,
+        tls_position=(0.0, 9.0, 0.0),
+        tls_fov_horizontal=360.0, tls_fov_vertical=60.0,
+        tls_middle_angle_vertical=-45.0,
+        tls_resolution_horizontal=32, tls_resolution_vertical=16,
+        rays_per_pulse=2, max_returns=2, chunk_pulses=512,
+        shading_mode=ShadingMode.MEASURED)
+    mats = MaterialLibrary.default().table_at(1064)
+    rays = build_rays(cfg, scene)
+    cloud_p = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                        use_pulse=True).run(rays)
+    cloud_x = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
+                        use_culled=False).run(rays)
+    # pulse ladders do not permute pulses, so the match is EXACT, not just
+    # multiset: same noise stream per pulse, same winners
+    np.testing.assert_array_equal(np.asarray(cloud_p.mask),
+                                  np.asarray(cloud_x.mask))
+    m = np.asarray(cloud_p.mask)
+    np.testing.assert_allclose(np.asarray(cloud_p.intensity)[m],
+                               np.asarray(cloud_x.intensity)[m],
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cloud_p.position)[m],
+                               np.asarray(cloud_x.position)[m],
+                               rtol=1e-4, atol=1e-4)
