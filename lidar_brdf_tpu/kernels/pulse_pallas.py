@@ -209,33 +209,95 @@ class PulseLadderTraverser:
         d = np.asarray(direction, np.float32).reshape(-1, 3)
         return beams_are_narrow(tile_beams(o, d, self.rays_per_pulse))
 
-    def prepare(self, bvh: BVH, origin, direction,
-                t_max: float | None = None):
-        o = np.asarray(origin, np.float32).reshape(-1, 3)
-        d = np.asarray(direction, np.float32).reshape(-1, 3)
+    def _resolve_t_max(self, bvh: BVH, o: np.ndarray,
+                       t_max: float | None) -> float:
         if t_max is None:
             nmin = np.asarray(bvh.node_min)[0]
             nmax = np.asarray(bvh.node_max)[0]
             far = np.linalg.norm(o - np.clip(o, nmin, nmax), axis=-1).max()
             t_max = float(np.linalg.norm(nmax - nmin) + far + 1.0)
         self.t_max = float(t_max)
+        return self.t_max
+
+    def _pack_bucket(self, pidx: np.ndarray, cand: np.ndarray):
+        """Wald rows + ids in the kernel's block layout (numpy, host)."""
+        B_pad, K = cand.shape
+        NB, KB = B_pad // LANES, K // CAND_BLOCK
+        rows = self.wald_np[np.maximum(cand, 0)].astype(np.float32)
+        rows[cand < 0] = 0.0                           # pad rows: n.d == 0
+        rows_blk = np.ascontiguousarray(
+            rows.reshape(NB, LANES, KB, CAND_BLOCK, 12)
+                .transpose(0, 2, 4, 3, 1))             # (NB, KB, 12, 8, 128)
+        ids_blk = np.ascontiguousarray(
+            cand.reshape(NB, LANES, KB, CAND_BLOCK)
+                .transpose(0, 2, 3, 1))                # (NB, KB, 8, 128)
+        return pidx, rows_blk, ids_blk
+
+    def prepare(self, bvh: BVH, origin, direction,
+                t_max: float | None = None):
+        o = np.asarray(origin, np.float32).reshape(-1, 3)
+        d = np.asarray(direction, np.float32).reshape(-1, 3)
+        t_max = self._resolve_t_max(bvh, o, t_max)
         buckets = build_pulse_ladders(
-            bvh, o, d, self.rays_per_pulse, t_max=self.t_max)
-        packed = []
-        for pidx, cand in buckets:
-            B_pad, K = cand.shape
-            NB, KB = B_pad // LANES, K // CAND_BLOCK
-            rows = self.wald_np[np.maximum(cand, 0)].astype(np.float32)
-            rows[cand < 0] = 0.0                       # pad rows: n.d == 0
-            rows_blk = np.ascontiguousarray(
-                rows.reshape(NB, LANES, KB, CAND_BLOCK, 12)
-                    .transpose(0, 2, 4, 3, 1))         # (NB, KB, 12, 8, 128)
-            ids_blk = np.ascontiguousarray(
-                cand.reshape(NB, LANES, KB, CAND_BLOCK)
-                    .transpose(0, 2, 3, 1))            # (NB, KB, 8, 128)
-            packed.append((jnp.asarray(pidx), jnp.asarray(rows_blk),
-                           jnp.asarray(ids_blk)))
-        return tuple(packed)
+            bvh, o, d, self.rays_per_pulse, t_max=t_max)
+        return tuple(tuple(jnp.asarray(a) for a in self._pack_bucket(p, c))
+                     for p, c in buckets)
+
+    def prepare_sharded(self, bvh: BVH, origin, direction, n_shards: int,
+                        t_max: float | None = None):
+        """Per-shard ladders, stacked on a leading device axis.
+
+        Pulses split evenly over ``n_shards``; each shard's ladders are
+        built against its local rays (pulse ids are shard-local).  Shards
+        can produce different ladder sizes, so every shard is normalized to
+        the union ladder — a shard missing a size K gets an all-padding
+        bucket — and padded to common bucket row counts.  Returns the same
+        pytree shape as :meth:`prepare` with every leaf gaining a leading
+        ``(n_shards,)`` axis, ready to shard with ``P(ray_axis)`` on axis 0
+        (shard_map then sees exactly one :meth:`prepare` result per device).
+        """
+        R = self.rays_per_pulse
+        o = np.asarray(origin, np.float32).reshape(-1, 3)
+        d = np.asarray(direction, np.float32).reshape(-1, 3)
+        t_max = self._resolve_t_max(bvh, o, t_max)
+        num_pulses = o.shape[0] // R
+        if num_pulses % n_shards:
+            raise ValueError(
+                f"{num_pulses} pulses not divisible by {n_shards} shards")
+        per = num_pulses // n_shards
+        shard_buckets = []
+        for s in range(n_shards):
+            sl = slice(s * per * R, (s + 1) * per * R)
+            shard_buckets.append({
+                cand.shape[1]: (pidx, cand)
+                for pidx, cand in build_pulse_ladders(
+                    bvh, o[sl], d[sl], R, t_max=t_max)})
+        out = []
+        for K in sorted({k for sb in shard_buckets for k in sb}):
+            B_pad = max((sb[K][0].shape[0] for sb in shard_buckets if K in sb),
+                        default=LANES)
+            pidx_all = np.full((n_shards, B_pad), per, np.int32)
+            rows_all = np.zeros(
+                (n_shards, B_pad // LANES, K // CAND_BLOCK, 12, CAND_BLOCK,
+                 LANES), np.float32)
+            ids_all = np.full(
+                (n_shards, B_pad // LANES, K // CAND_BLOCK, CAND_BLOCK,
+                 LANES), -1, np.int32)
+            for s, sb in enumerate(shard_buckets):
+                if K not in sb:
+                    continue
+                pidx, cand = sb[K]
+                B = pidx.shape[0]
+                if B < B_pad:       # pad to the union bucket row count
+                    pidx = np.concatenate(
+                        [pidx, np.full(B_pad - B, per, np.int32)])
+                    cand = np.concatenate(
+                        [cand, np.full((B_pad - B, K), -1, np.int32)])
+                _, rows_blk, ids_blk = self._pack_bucket(pidx, cand)
+                pidx_all[s], rows_all[s], ids_all[s] = pidx, rows_blk, ids_blk
+            out.append((jnp.asarray(pidx_all), jnp.asarray(rows_all),
+                        jnp.asarray(ids_all)))
+        return tuple(out)
 
     def __call__(self, origin, direction, traverse_data) -> Hit:
         R = self.rays_per_pulse

@@ -93,16 +93,38 @@ def build_sharded_buckets(traverser, bvh, rays: RayBundle, mesh: Mesh,
     return tuple(out)
 
 
-def shard_buckets_put(buckets, mesh: Mesh):
-    """Device-put stacked buckets with the device axis sharded."""
+def build_sharded_traverse_data(traverser, bvh, rays: RayBundle, mesh: Mesh,
+                                t_max: float | None = None):
+    """Per-device traverse_data for any traverser, stacked on a device axis.
+
+    Dispatches to the traverser's own ``prepare_sharded`` when it has one
+    (``PulseLadderTraverser``); otherwise falls back to the tile-bucket
+    scheme of :func:`build_sharded_buckets`.  Either way the result is a
+    pytree whose every leaf has a leading ``(n_devices,)`` axis — shard it
+    with :func:`shard_traverse_data` and each device sees exactly the
+    single-device ``prepare`` structure inside ``shard_map``.
+    """
+    if hasattr(traverser, "prepare_sharded"):
+        import numpy as np
+        return traverser.prepare_sharded(
+            bvh, np.asarray(rays.origin), np.asarray(rays.direction),
+            mesh.devices.size, t_max=t_max)
+    return build_sharded_buckets(traverser, bvh, rays, mesh, t_max=t_max)
+
+
+def shard_traverse_data(data, mesh: Mesh):
+    """Device-put stacked traverse_data with the device axis sharded."""
     sh = NamedSharding(mesh, P(RAY_AXIS))
-    return tuple((jax.device_put(t, sh), jax.device_put(c, sh))
-                 for t, c in buckets)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), data)
 
 
-def _local_buckets(buckets):
-    """Inside shard_map: drop the (length-1) device axis."""
-    return tuple((t[0], c[0]) for t, c in buckets)
+# back-compat alias: tile buckets are one instance of stacked traverse_data
+shard_buckets_put = shard_traverse_data
+
+
+def _local_traverse_data(data):
+    """Inside shard_map: drop the (length-1) device axis from every leaf."""
+    return jax.tree.map(lambda a: a[0], data)
 
 
 def sharded_forward(mesh: Mesh, cfg: SensorConfig, *, scene_has_water=False,
@@ -111,17 +133,17 @@ def sharded_forward(mesh: Mesh, cfg: SensorConfig, *, scene_has_water=False,
 
     @functools.partial(jax.jit)
     def fwd(scene, bvh, materials, rays, noise_buf, scalars, buckets=None):
-        def local(scene, bvh, materials, rays, noise_buf, scalars, *bleaves):
+        bleaves, btree = jax.tree.flatten(buckets)
+
+        def local(scene, bvh, materials, rays, noise_buf, scalars, *bl):
             data = None
-            if bleaves:
-                data = _local_buckets(
-                    tuple(zip(bleaves[0::2], bleaves[1::2])))
+            if bl:
+                data = _local_traverse_data(jax.tree.unflatten(btree, bl))
             return simulate_chunk(scene, bvh, materials, rays, noise_buf,
                                   scalars, cfg,
                                   scene_has_water=scene_has_water,
                                   traverse_fn=traverse_fn,
                                   traverse_data=data)
-        bleaves = tuple(a for pair in (buckets or ()) for a in pair)
         return shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P())
@@ -161,7 +183,7 @@ def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
     @jax.jit
     def step(scene, bvh, materials, rays, noise_buf, scalars, target,
              buckets=None):
-        bleaves = tuple(a for pair in (buckets or ()) for a in pair)
+        bleaves, btree = jax.tree.flatten(buckets)
 
         def loss_leaves(leaves):
             mats = _with_float_leaves(materials, leaves)
@@ -170,7 +192,7 @@ def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
                       *bl):
                 data = None
                 if bl:
-                    data = _local_buckets(tuple(zip(bl[0::2], bl[1::2])))
+                    data = _local_traverse_data(jax.tree.unflatten(btree, bl))
                 cloud = simulate_chunk(scene, bvh, mats, rays, noise_buf,
                                        scalars, cfg,
                                        scene_has_water=scene_has_water,

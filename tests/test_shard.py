@@ -91,6 +91,46 @@ def test_sharded_culled_matches_single_device(setup):
             == np.asarray(cloud_single.mask)).all()
 
 
+def test_sharded_pulse_ladder_matches_single_device(setup):
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+    scene, bvh, cfg, rays, materials, scalars, noise = setup
+    mesh = shard_mod.ray_mesh()
+    tr = PulseLadderTraverser(scene, rays_per_pulse=cfg.rays_per_pulse,
+                              interpret=True)
+    data = shard_mod.shard_traverse_data(
+        shard_mod.build_sharded_traverse_data(tr, bvh, rays, mesh), mesh)
+    fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False,
+                                    traverse_fn=tr)
+    cloud_sharded = fwd(scene, bvh, materials, rays, noise, scalars, data)
+    cloud_single = simulate_chunk(scene, bvh, materials, rays, noise,
+                                  scalars, cfg, scene_has_water=False)
+    np.testing.assert_allclose(np.asarray(cloud_sharded.intensity),
+                               np.asarray(cloud_single.intensity),
+                               rtol=1e-4, atol=1e-7)
+    assert (np.asarray(cloud_sharded.mask)
+            == np.asarray(cloud_single.mask)).all()
+
+
+def test_sharded_pulse_ladder_train_step(setup):
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+    scene, bvh, cfg, rays, materials, scalars, noise = setup
+    mesh = shard_mod.ray_mesh()
+    tr = PulseLadderTraverser(scene, rays_per_pulse=cfg.rays_per_pulse,
+                              interpret=True)
+    data = shard_mod.shard_traverse_data(
+        shard_mod.build_sharded_traverse_data(tr, bvh, rays, mesh), mesh)
+    fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False,
+                                    traverse_fn=tr)
+    cloud = fwd(scene, bvh, materials, rays, noise, scalars, data)
+    target = jnp.where(cloud.mask, cloud.intensity * 1.1, 0.0)
+    step = shard_mod.sharded_train_step(mesh, cfg, scene_has_water=False,
+                                        traverse_fn=tr)
+    loss, new_mats, grads = step(scene, bvh, materials, rays, noise,
+                                 scalars, target, data)
+    assert float(loss) > 0.0
+    assert float(jnp.sum(jnp.abs(grads[2]))) > 0.0   # brdf table grads flow
+
+
 def test_sharded_culled_train_step(setup):
     from lidar_brdf_tpu.geom.beamcull import CulledTraverser
     scene, bvh, cfg, rays, materials, scalars, noise = setup
