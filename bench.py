@@ -28,15 +28,21 @@ import numpy as np
 
 PER_CHIP_TARGET = 100e6 / 8.0
 
+# traverser choice per config (measured on v5e, 2026-08): dense pulse
+# grids over SMALL scenes run fastest on the shared-candidate tile kernel
+# (per-pulse ladders duplicate Wald rows per pulse -> HBM-bound at ~1M
+# pulses x 40k faces: 15.1 vs 18.1 M rays/s); wide-area scans over LARGE
+# scenes need the per-pulse ladders (tile footprints on the 5M-face
+# terrain hold ~3k candidates: 0.31 vs 17.5 M rays/s).
 CONFIGS = {
     "tls": dict(pulses=131072, rays_pulse=10, max_returns=1, scene="city",
-                num_tris=40_000),
+                num_tris=40_000, traverser="tile"),
     "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
-                        scene="city", num_tris=40_000),
+                        scene="city", num_tris=40_000, traverser="tile"),
     "als": dict(pulses=131072, rays_pulse=10, max_returns=2,
-                scene="terrain", num_tris=5_000_000),
+                scene="terrain", num_tris=5_000_000, traverser="pulse"),
     "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
-                       scene="city", num_tris=40_000),
+                       scene="city", num_tris=40_000, traverser="tile"),
 }
 
 
@@ -153,12 +159,10 @@ def main():
         config, num_pulses, rays_per_pulse, spec["max_returns"],
         spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
     # Beam-culled traversal prep (host, once per scan — reused every step).
-    # Default: per-PULSE candidate ladders (narrow cones -> near-minimal
-    # candidate sets, pre-packed device arrays).  BENCH_TRAVERSER=tile
-    # selects the coarser 640-ray tile scheme for comparison.
+    # Per-config default (see CONFIGS comment); BENCH_TRAVERSER overrides.
     block_pulses = max(1, 640 // rays_per_pulse)
     rays = bsp_order(rays, block_pulses)
-    if os.environ.get("BENCH_TRAVERSER", "pulse") == "tile":
+    if os.environ.get("BENCH_TRAVERSER", spec["traverser"]) == "tile":
         traverser = PallasCulledTraverser(
             scene, tile_rays=block_pulses * rays_per_pulse,
             interpret=jax.default_backend() == "cpu")

@@ -146,9 +146,11 @@ class Simulator:
 
     Traversal strategy (fastest first):
       * per-pulse candidate ladders (`kernels/pulse_pallas.py`) — default
-        on TPU: each pulse's narrow cone is culled against the BVH on the
-        host once per chunk; pre-packed ladders make the device step pure
-        arithmetic.
+        on TPU for scenes above ~100k faces: each pulse's narrow cone is
+        culled against the BVH on the host once per chunk; pre-packed
+        ladders make the device step pure arithmetic.  Small scenes use
+        the Pallas tile kernel instead (shared candidates beat per-pulse
+        row duplication there; see __post_init__ for the measurements).
       * beam-culled dense intersection (`geom/beamcull.py`) — default on
         CPU for water-free scenes: pulses are BSP-reordered into coherent
         640-ray blocks (point clouds are order-free), per-chunk candidate
@@ -195,8 +197,18 @@ class Simulator:
             # Pallas kernels on real TPU (the axon plugin names the tunnel
             # backend after itself); XLA dense path elsewhere.
             on_tpu = jax.default_backend() in ("tpu", "axon")
+            # Auto traverser choice (measured on v5e, 2026-08): per-pulse
+            # ladders duplicate Wald rows per pulse, so on SMALL scenes the
+            # shared-candidate tile kernel wins modestly (18.1 vs 15.1
+            # M rays/s at 1M pulses x 40k faces), while on DENSE scenes
+            # tile footprints explode to ~3k candidates and the tile kernel
+            # collapses (0.31 vs 17.5 M rays/s on a 5M-face terrain).  The
+            # asymmetry dictates the default: pulse ladders unless the
+            # scene is small enough that tile footprints stay cheap.
+            small_scene = self.scene.num_faces <= 100_000
             pick_pulse = (self.use_pulse if self.use_pulse is not None
-                          else on_tpu and not self.use_pallas)
+                          else on_tpu and not self.use_pallas
+                          and not small_scene)
             pick_pallas = (self.use_pallas if self.use_pallas is not None
                            else on_tpu)
             if pick_pulse:
