@@ -54,7 +54,8 @@ def build_workload(config: str, num_pulses, rays_per_pulse, max_returns,
     ray generation and noise fill run on the local CPU backend.
     """
     import jax
-    from lidar_brdf_tpu.api import build_rays, build_scene_bvh
+    from lidar_brdf_tpu.api import (attach_face_neighbors, build_rays,
+                                    build_scene_bvh)
     from lidar_brdf_tpu.core.config import (LiDARType, SensorConfig,
                                             ShadingMode, get_preset)
     from lidar_brdf_tpu.io import synthetic
@@ -69,6 +70,7 @@ def build_workload(config: str, num_pulses, rays_per_pulse, max_returns,
         # ground + buildings on a jittered grid (12 tris/building)
         num_buildings = max((num_tris - 128) // 12, 1)
         scene = synthetic.city_scene(rng, num_buildings=num_buildings)
+    scene = attach_face_neighbors(scene)
     bvh = build_scene_bvh(scene)
 
     common = dict(rays_per_pulse=rays_per_pulse, max_returns=max_returns,

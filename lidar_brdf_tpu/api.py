@@ -26,6 +26,24 @@ def build_scene_bvh(scene: TriangleScene) -> BVH:
     return build_bvh(np.asarray(scene.vertices), np.asarray(scene.faces))
 
 
+def attach_face_neighbors(scene: TriangleScene) -> TriangleScene:
+    """Scene with the precomputed contiguity table (geom/adjacency.py).
+
+    Speeds the footprint merge up on TPU (~7.6 ms/step at 1.3M rays);
+    returns the scene unchanged when the table would exceed the width cap
+    (hub-vertex meshes) or is already attached.  Semantics are identical
+    either way (`reduceCollisions-comp.glsl:54-62`)."""
+    import dataclasses
+    if scene.face_neighbors is not None:
+        return scene
+    from .geom.adjacency import build_face_neighbors
+    table = build_face_neighbors(np.asarray(scene.faces),
+                                 np.asarray(scene.face_comp))
+    if table is None:
+        return scene
+    return dataclasses.replace(scene, face_neighbors=table)
+
+
 def build_rays(cfg: SensorConfig, scene: TriangleScene,
                seed: int | None = None) -> RayBundle:
     """Generate the full scan's rays for the configured sensor type

@@ -65,6 +65,11 @@ class TriangleScene:
     comp_surface: Array      # (C,) i32 surface flag bits (terrain/water)
     comp_semantic: Array     # (C,) i32 custom semantic group
     comp_asprs: Array        # (C,) i32 ASPRS class
+    # Optional precomputed contiguity table (geom/adjacency.py): per face,
+    # the padded ids of same-component faces sharing >= 1 vertex.  When
+    # present, the footprint merge replaces its (pulses x rays)-row vertex
+    # gather with one winner-row gather + dense compares.
+    face_neighbors: Array | None = None   # (F, MAXN) i32, -1 padded
 
     @property
     def num_faces(self) -> int:

@@ -357,7 +357,8 @@ def load_obj_scene(path: str, *, use_cache: bool = True) -> TriangleScene:
         try:
             np.savez_compressed(
                 cache, **{f: np.asarray(getattr(scene, f))
-                          for f in scene.__dataclass_fields__})
+                          for f in scene.__dataclass_fields__
+                          if getattr(scene, f) is not None})
         except OSError:
             pass
     return scene

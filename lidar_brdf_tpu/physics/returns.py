@@ -238,20 +238,28 @@ def simulate_returns(
 
         # Per-ray hit points (non-diff; drive discrete merge decisions only).
         point_i = origin + direction * jnp.where(valid_hit, hits.t, 0.0)[..., None]
-        rows_i = faces_aug[jnp.maximum(hits.face, 0)]               # (P, R, 4)
-        verts_i = rows_i[..., 0:3]
-        comp_i = rows_i[..., 3]
 
         # -------- footprint merge (`reduceCollisions` :201-223) ----------
         footprint = _norm(point_w - start_w) * scalars.pulse_radius
         cos_inc = jnp.abs(jnp.sum(normal_w * (-_unit(dir_w)), axis=-1))
         allowed = 2.0 * footprint * (2.0 - cos_inc)
         d_to_winner = _norm(point_i - point_w[:, None, :])
+        if scene.face_neighbors is not None:
+            # precomputed contiguity (geom/adjacency.py): ONE winner-row
+            # gather + dense id compares, instead of a (P, R)-row vertex
+            # gather (~7.6 ms at 1.3M rays on v5e)
+            cont_w = scene.face_neighbors[jnp.maximum(face_w, 0)]  # (P, MAXN)
+            contiguous = (hits.face[:, :, None]
+                          == cont_w[:, None, :]).any(axis=-1)
+        else:
+            rows_i = faces_aug[jnp.maximum(hits.face, 0)]          # (P, R, 4)
+            contiguous = _faces_contiguous(
+                rows_i[..., 0:3], verts_w[:, None, :],
+                rows_i[..., 3], comp_w[:, None])
         same = (valid_hit
                 & ((d_to_winner < allowed[:, None])
                    | (hits.face == face_w[:, None])
-                   | _faces_contiguous(verts_i, verts_w[:, None, :],
-                                       comp_i, comp_w[:, None])))
+                   | contiguous))
         same = same & has_winner[:, None]
         num_intersected = jnp.sum(same, axis=1).astype(jnp.int32)
         continue_ray = valid_hit & ~same                            # (P, R)

@@ -172,6 +172,8 @@ class Simulator:
     reorder: bool | None = None       # None = auto (when culled is active)
 
     def __post_init__(self):
+        from ..api import attach_face_neighbors
+        self.scene = attach_face_neighbors(self.scene)
         self.scene_has_water = bool(
             (np.asarray(self.scene.comp_surface) & SURFACE_WATER).any())
         # `use_pallas` now selects the Pallas *culled* kernel explicitly

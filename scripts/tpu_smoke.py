@@ -11,10 +11,13 @@ asserts hit parity with the brute-force oracle.  Run via
 Exits non-zero on any mismatch; prints one summary line on success.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fan_rays(n_side=16):
