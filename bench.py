@@ -120,6 +120,117 @@ def build_workload(config: str, num_pulses, rays_per_pulse, max_returns,
             np.asarray(noise))
 
 
+def _build_host_state(config, spec):
+    """Everything host-side: workload arrays + raw beam-cull buckets.
+
+    Runs in the CURRENT process; call only when the backend is plain CPU.
+    Under the axon TPU tunnel even CPU-backend jits (ray generation) go
+    through the remote compiler at ~100x the latency (measured 151s vs 1.4s
+    for `build_rays` at 131k pulses), so `load_workload` runs this in a
+    forced-CPU subprocess instead.
+    """
+    import jax
+    from lidar_brdf_tpu.runtime.simulate import bsp_order
+
+    num_pulses = int(os.environ.get("BENCH_PULSES", spec["pulses"]))
+    rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE",
+                                        spec["rays_pulse"]))
+    scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
+        config, num_pulses, rays_per_pulse, spec["max_returns"],
+        spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
+    block_pulses = max(1, 640 // rays_per_pulse)
+    rays = bsp_order(rays, block_pulses)
+    kind = os.environ.get("BENCH_TRAVERSER", spec["traverser"])
+    t_max = float(cfg.max_range) * 1.2
+    o = np.asarray(rays.origin)
+    d = np.asarray(rays.direction)
+    if kind == "tile":
+        from lidar_brdf_tpu.kernels.traverse_pallas import \
+            PallasCulledTraverser
+        tr = PallasCulledTraverser(
+            scene, tile_rays=block_pulses * rays_per_pulse, interpret=True)
+        raw = tr.build_buckets(bvh, o, d, t_max=t_max)
+    else:
+        from lidar_brdf_tpu.kernels.pulse_pallas import build_pulse_ladders
+        raw = build_pulse_ladders(bvh, o, d, rays_per_pulse, t_max=t_max)
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
+                rays=to_np(rays), materials=to_np(materials),
+                scalars=to_np(scalars), noise=np.asarray(noise),
+                raw_buckets=raw, t_max=t_max, kind=kind,
+                block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
+
+
+def _dump_workload(path):
+    """Subprocess entry: force the local CPU backend, build, pickle."""
+    import pickle
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    config = os.environ.get("BENCH_CONFIG", "tls")
+    state = _build_host_state(config, CONFIGS[config])
+    with open(path, "wb") as fh:
+        pickle.dump(state, fh, protocol=4)
+
+
+def load_workload(config, spec):
+    """Build the bench workload; host part in a forced-CPU subprocess.
+
+    Returns (scene, bvh, cfg, rays, materials, scalars, noise, traverser,
+    traverse_data, total_rays) with the traverser constructed for the
+    CURRENT backend and traverse_data packed ready for `simulate_chunk`.
+    """
+    import pickle
+    import subprocess
+    import tempfile
+
+    import jax
+
+    if os.environ.get("BENCH_INLINE_BUILD") or \
+            jax.default_backend() == "cpu":
+        state = _build_host_state(config, spec)
+    else:
+        fd, path = tempfile.mkstemp(suffix=".pkl")
+        os.close(fd)
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--dump-workload", path],
+                check=True, env=dict(os.environ, BENCH_CONFIG=config))
+            with open(path, "rb") as fh:
+                state = pickle.load(fh)
+        finally:
+            os.unlink(path)
+
+    scene, bvh, cfg, rays = (state["scene"], state["bvh"], state["cfg"],
+                             state["rays"])
+    interpret = jax.default_backend() == "cpu"
+    if state["kind"] == "tile":
+        from lidar_brdf_tpu.kernels.traverse_pallas import \
+            PallasCulledTraverser
+        traverser = PallasCulledTraverser(
+            scene,
+            tile_rays=state["block_pulses"] * state["rays_per_pulse"],
+            interpret=interpret)
+        buckets = traverser.pack_buckets(
+            bvh, state["raw_buckets"], np.asarray(rays.origin),
+            np.asarray(rays.direction), state["t_max"])
+    else:
+        import jax.numpy as jnp
+
+        from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+        traverser = PulseLadderTraverser(
+            scene, rays_per_pulse=state["rays_per_pulse"],
+            interpret=interpret)
+        traverser.t_max = state["t_max"]
+        buckets = tuple(
+            tuple(jnp.asarray(a) for a in traverser._pack_bucket(p, c))
+            for p, c in state["raw_buckets"])
+    total_rays = rays.num_pulses * rays.rays_per_pulse
+    return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
+            state["noise"], traverser, buckets, total_rays)
+
+
 def main():
     import faulthandler
     import threading
@@ -147,39 +258,17 @@ def main():
     if os.environ.get("BENCH_FORCE_CPU"):   # smoke-testing the harness
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
-    from lidar_brdf_tpu.kernels.traverse_pallas import PallasCulledTraverser
-    from lidar_brdf_tpu.runtime.simulate import bsp_order, simulate_chunk
+    from lidar_brdf_tpu.runtime.simulate import simulate_chunk
 
-    num_pulses = int(os.environ.get("BENCH_PULSES", spec["pulses"]))
-    rays_per_pulse = int(os.environ.get("BENCH_RAYS_PULSE",
-                                        spec["rays_pulse"]))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     t_start = time.perf_counter()
-    scene, bvh, cfg, rays, materials, scalars, noise = build_workload(
-        config, num_pulses, rays_per_pulse, spec["max_returns"],
-        spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
-    # Beam-culled traversal prep (host, once per scan — reused every step).
-    # Per-config default (see CONFIGS comment); BENCH_TRAVERSER overrides.
-    block_pulses = max(1, 640 // rays_per_pulse)
-    rays = bsp_order(rays, block_pulses)
-    if os.environ.get("BENCH_TRAVERSER", spec["traverser"]) == "tile":
-        traverser = PallasCulledTraverser(
-            scene, tile_rays=block_pulses * rays_per_pulse,
-            interpret=jax.default_backend() == "cpu")
-    else:
-        traverser = PulseLadderTraverser(
-            scene, rays_per_pulse=rays_per_pulse,
-            interpret=jax.default_backend() == "cpu")
-    buckets = traverser.prepare(
-        bvh, np.asarray(rays.origin), np.asarray(rays.direction),
-        t_max=float(cfg.max_range) * 1.2)
+    (scene, bvh, cfg, rays, materials, scalars, noise, traverser, buckets,
+     total_rays) = load_workload(config, spec)
     print(f"# [{config}] workload built in {time.perf_counter()-t_start:.1f}s "
           f"({scene.num_faces} faces, {rays.num_pulses} pulses x "
           f"{rays.rays_per_pulse} rays, {cfg.max_returns} returns)",
           file=sys.stderr, flush=True)
-    total_rays = rays.num_pulses * rays.rays_per_pulse
 
     def loss_fn(table, origin, scene, bvh, materials, rays, noise, scalars,
                 buckets):
@@ -260,4 +349,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--dump-workload":
+        _dump_workload(sys.argv[2])
+        sys.exit(0)
     sys.exit(main())

@@ -157,9 +157,18 @@ def refine_hit(scene: TriangleScene, origin, direction, face_idx):
     `findBVHCollision-comp.glsl:74-90`.)
     """
     v0, v1, v2 = _gather_tri(scene, face_idx)
+    normal = scene.face_normals[jnp.maximum(face_idx, 0)]
+    t, point, uv, valid = refine_hit_verts(origin, direction,
+                                           v0, v1, v2, face_idx)
+    return t, point, uv, normal, valid
+
+
+def refine_hit_verts(origin, direction, v0, v1, v2, face_idx):
+    """`refine_hit` for pre-gathered triangle vertices (no scene lookups —
+    callers that already hold a packed per-face row avoid the 4 extra row
+    gathers `refine_hit` would issue)."""
     t, u, v, ok = moller_trumbore(origin, direction, v0, v1, v2)
     valid = (face_idx >= 0) & ok
     t = jnp.where(valid, t, BIG)
     point = origin + direction * t[..., None]
-    normal = scene.face_normals[jnp.maximum(face_idx, 0)]
-    return t, point, (u, v), normal, valid
+    return t, point, (u, v), valid

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..core.config import SensorConfig
 from ..core.types import (BVH, MaterialTable, RayBundle, SURFACE_TERRAIN,
                           SURFACE_WATER, TriangleScene)
-from ..geom.intersect import BIG, intersect_bvh, refine_hit
+from ..geom.intersect import BIG, intersect_bvh, refine_hit, refine_hit_verts
 from ..utils import noise as noise_mod
 from .types import ReturnRecord, OutlierRecord
 
@@ -114,6 +114,51 @@ def _refract(I, N, eta):
     return jnp.where(k < 0.0, jnp.zeros_like(refr), refr)
 
 
+# Packed per-face row layout (`build_face_pack`): float32 columns
+#   0:3 v0   3:6 v1   6:9 v2   9:12 face normal
+#   12:14 uv0  14:16 uv1  16:18 uv2
+#   18 ks  19 ns  20 refractive index  21 roughness  22 comp noise draw
+#   23 comp id  24 material id  25 surface flags   (ints, exact in f32)
+FACE_PACK_WIDTH = 26
+
+
+def build_face_pack(scene: TriangleScene, materials: MaterialTable,
+                    noise_buf: jax.Array) -> jax.Array:
+    """One fat float row per face: every per-winner lookup in one gather.
+
+    TPU gathers cost per ROW, not per byte, so the ~12 separate per-pulse
+    row gathers the return loop would otherwise issue (3 vertices + normal
+    for `refine_hit`, face->comp, comp->material/surface, vertex ks/ns,
+    3 uv rows, material refraction/roughness, the per-component noise draw)
+    collapse into ONE (P, 26) gather of this table.  Construction itself
+    costs ~10 F-row gathers, but it depends only on (scene, materials,
+    noise) — XLA hoists it out of training loops, and chunked runs reuse it
+    across chunks — so it amortizes whenever faces < pulses simulated.
+
+    Int columns are stored as exact f32 (ids < 2^24).  Gradients flow
+    through the vertex/uv/ks/material columns to the underlying arrays.
+    """
+    f = scene.faces
+    vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)
+    comp_aug = jnp.stack([scene.comp_material, scene.comp_surface], axis=1)
+    crow = comp_aug[scene.face_comp]                              # (F, 2)
+    mat_aug = jnp.stack([materials.refractive_index, materials.roughness],
+                        axis=1)
+    mrow = mat_aug[crow[:, 0]]                                    # (F, 2)
+    comp_rand = noise_mod.stream_sample(
+        noise_buf, scene.face_comp.astype(jnp.uint32),
+        noise_mod.MODEL_COMP_STREAM)
+    fl = jnp.float32
+    return jnp.concatenate([
+        scene.vertices[f[:, 0]], scene.vertices[f[:, 1]],
+        scene.vertices[f[:, 2]], scene.face_normals,
+        scene.vertex_uv[f[:, 0]], scene.vertex_uv[f[:, 1]],
+        scene.vertex_uv[f[:, 2]],
+        vert_ksns[f[:, 0]], mrow, comp_rand[:, None].astype(fl),
+        scene.face_comp[:, None].astype(fl), crow.astype(fl),
+    ], axis=1)
+
+
 def _faces_contiguous(va, vb, comp_a, comp_b):
     """Same component and sharing >= 1 vertex (`areTriangleContiguous`).
 
@@ -137,6 +182,7 @@ def simulate_returns(
     traverse_fn=None,
     traverse_data=None,
     scene_has_water: bool = True,
+    face_pack: jax.Array | bool | None = None,
 ) -> tuple[ReturnRecord, OutlierRecord, jax.Array, jax.Array]:
     """Run the per-return extraction loop for one chunk of pulses.
 
@@ -187,19 +233,33 @@ def simulate_returns(
     # candidates were supplied); only refracted bounce levels re-traverse.
     hits0 = traverse_fn(rays.origin, rays.direction)
 
-    # Fused lookup rows — TPU gathers are priced per row, so co-indexed
-    # tables are packed and gathered once (a lone 1-D face_comp gather
-    # alone measured 9.4 ms at 1.3M rays on v5e):
-    #   faces_aug (F, 4): [v0, v1, v2, comp]
-    #   comp_aug  (C, 2): [material, surface]
-    #   vert_ksns (V, 2): [ks, ns]
-    #   mat_aug   (M, 2): [refractive_index, roughness]
-    faces_aug = jnp.concatenate(
-        [scene.faces, scene.face_comp[:, None]], axis=1)
-    comp_aug = jnp.stack([scene.comp_material, scene.comp_surface], axis=1)
-    vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)
-    mat_aug = jnp.stack([materials.refractive_index, materials.roughness],
-                        axis=1)
+    # Fused lookup rows — TPU gathers are priced per row.  Preferred: ONE
+    # packed (F, 26) face row (`build_face_pack`) gathered once per level.
+    # Auto-gate: packing pays when the construction (~10 F-row gathers,
+    # loop-hoistable) is smaller than the per-level gathers it replaces;
+    # huge scenes scanned by few pulses keep the narrow split tables
+    # (pass face_pack=<array> to force, False to disable).
+    if face_pack is None:
+        if scene.num_faces <= P * R * max(max_returns, 1):
+            face_pack = build_face_pack(scene, materials, noise_buf)
+        else:
+            face_pack = False
+    if face_pack is False:
+        face_pack = None
+    faces_aug = None
+    if face_pack is None or scene.face_neighbors is None:
+        #   faces_aug (F, 4): [v0, v1, v2, comp]
+        faces_aug = jnp.concatenate(
+            [scene.faces, scene.face_comp[:, None]], axis=1)
+    if face_pack is None:
+        #   comp_aug  (C, 2): [material, surface]
+        #   vert_ksns (V, 2): [ks, ns]
+        #   mat_aug   (M, 2): [refractive_index, roughness]
+        comp_aug = jnp.stack([scene.comp_material, scene.comp_surface],
+                             axis=1)
+        vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)
+        mat_aug = jnp.stack([materials.refractive_index,
+                             materials.roughness], axis=1)
 
     def step(state, hits):
         (origin, direction, prev_dir, active, return_count, prev_water,
@@ -224,15 +284,29 @@ def simulate_returns(
         face_w = ipack[:, 0]
         has_winner = ipack[:, 1].astype(bool)
         idx_w = ipack[:, 2].astype(jnp.uint32)
-        # Differentiable re-evaluation of the winning hit (fixed topology).
-        t_ref, point_w, (u_w, v_w), normal_w, _ = refine_hit(
-            scene, origin_w, dir_w, face_w)
-        rows_w = faces_aug[jnp.maximum(face_w, 0)]                  # (P, 4)
-        verts_w = rows_w[:, 0:3]
-        comp_w = rows_w[:, 3]
-        crow_w = comp_aug[comp_w]                                   # (P, 2)
-        mat_w = crow_w[:, 0]
-        surface_w = crow_w[:, 1]
+        # Differentiable re-evaluation of the winning hit (fixed topology),
+        # plus every co-indexed per-face field — ONE row gather when the
+        # packed face table is in play (see `build_face_pack`).
+        if face_pack is not None:
+            frow = face_pack[jnp.maximum(face_w, 0)]                # (P, 26)
+            _, point_w, (u_w, v_w), _ = refine_hit_verts(
+                origin_w, dir_w, frow[:, 0:3], frow[:, 3:6],
+                frow[:, 6:9], face_w)
+            normal_w = frow[:, 9:12]
+            verts_w = None
+            comp_w = frow[:, 23].astype(jnp.int32)
+            mat_w = frow[:, 24].astype(jnp.int32)
+            surface_w = frow[:, 25].astype(jnp.int32)
+        else:
+            frow = None
+            _, point_w, (u_w, v_w), normal_w, _ = refine_hit(
+                scene, origin_w, dir_w, face_w)
+            rows_w = faces_aug[jnp.maximum(face_w, 0)]              # (P, 4)
+            verts_w = rows_w[:, 0:3]
+            comp_w = rows_w[:, 3]
+            crow_w = comp_aug[comp_w]                               # (P, 2)
+            mat_w = crow_w[:, 0]
+            surface_w = crow_w[:, 1]
         is_water = (surface_w & SURFACE_WATER) != 0
         is_terrain = (surface_w & SURFACE_TERRAIN) != 0
 
@@ -253,6 +327,8 @@ def simulate_returns(
                           == cont_w[:, None, :]).any(axis=-1)
         else:
             rows_i = faces_aug[jnp.maximum(hits.face, 0)]          # (P, R, 4)
+            if verts_w is None:        # packed path: winner vertex ids
+                verts_w = faces_aug[jnp.maximum(face_w, 0)][:, 0:3]
             contiguous = _faces_contiguous(
                 rows_i[..., 0:3], verts_w[:, None, :],
                 rows_i[..., 3], comp_w[:, None])
@@ -278,8 +354,12 @@ def simulate_returns(
         dnoise = nz[:, noise_mod.DISTANCE_STREAM]
         b0, b1 = scalars.max_range_boundary[0], scalars.max_range_boundary[1]
         noisy_max = scalars.max_range + dnoise * (b1 - b0) + b0
-        ksns = vert_ksns[verts_w[:, 0]]                             # (P, 2)
-        mrow = mat_aug[mat_w]                                       # (P, 2)
+        if face_pack is not None:
+            ksns = frow[:, 18:20]
+            mrow = frow[:, 20:22]
+        else:
+            ksns = vert_ksns[verts_w[:, 0]]                         # (P, 2)
+            mrow = mat_aug[mat_w]                                   # (P, 2)
         shininess = jnp.clip(jnp.power(jnp.maximum(ksns[:, 0], 0.0),
                                        ksns[:, 1])
                              * mrow[:, 1], 0.0, 1.0)
@@ -300,9 +380,12 @@ def simulate_returns(
         point_rec = point_w
         if cfg.include_shiny_surface_error:
             factor = 1.0 - shininess
-            comp_rand = noise_mod.stream_sample(
-                noise_buf, comp_w.astype(jnp.uint32),
-                noise_mod.MODEL_COMP_STREAM) * SHINY_MODEL_WEIGHT
+            if face_pack is not None:
+                comp_rand = frow[:, 22] * SHINY_MODEL_WEIGHT
+            else:
+                comp_rand = noise_mod.stream_sample(
+                    noise_buf, comp_w.astype(jnp.uint32),
+                    noise_mod.MODEL_COMP_STREAM) * SHINY_MODEL_WEIGHT
             pt_rand = nz[:, noise_mod.POINT_STREAM] * SHINY_INDIVIDUAL_ERROR
             shift = (dir_w * (factor * factor * corrected
                               * SHINY_DISTANCE_WEIGHT)[:, None]
@@ -324,10 +407,14 @@ def simulate_returns(
             point_rec = jnp.where((is_terrain & valid_col)[:, None],
                                   point_rec + shift, point_rec)
 
-        uvs = scene.vertex_uv[verts_w]                              # (P, 3, 2)
-        uv_rec = (uvs[:, 0] * (1.0 - u_w - v_w)[:, None]
-                  + uvs[:, 1] * u_w[:, None]
-                  + uvs[:, 2] * v_w[:, None])
+        if face_pack is not None:
+            uv0, uv1, uv2 = frow[:, 12:14], frow[:, 14:16], frow[:, 16:18]
+        else:
+            uvs = scene.vertex_uv[verts_w]                          # (P, 3, 2)
+            uv0, uv1, uv2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+        uv_rec = (uv0 * (1.0 - u_w - v_w)[:, None]
+                  + uv1 * u_w[:, None]
+                  + uv2 * v_w[:, None])
 
         z = lambda v: jnp.where(valid_col, v, 0.0)   # sanitize masked slots
         record = ReturnRecord(
@@ -339,6 +426,7 @@ def simulate_returns(
             angle=z(angle),
             gps_time=z(gps),
             comp=jnp.where(valid_col, comp_w, -1),
+            material=jnp.where(valid_col, mat_w, 0),
             face=jnp.where(valid_col, face_w, -1),
             num_intersected=num_intersected,
             return_number=return_count,

@@ -26,6 +26,7 @@ class ReturnRecord:
     angle: jax.Array            # (P,)  scan angle in [0, 90]
     gps_time: jax.Array         # (P,)
     comp: jax.Array             # (P,)  model component id (-1 invalid)
+    material: jax.Array         # (P,)  LiDAR material id of the component
     face: jax.Array             # (P,)
     num_intersected: jax.Array  # (P,)  merged rays in the footprint
     return_number: jax.Array    # (P,)  0-based return index
