@@ -5,17 +5,26 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.json): >100M rays/s fwd+bwd on a v5e-8, i.e. 12.5M
 rays/s/chip; vs_baseline is measured rays/s/chip over that per-chip target.
 
+"fwd+bwd" means the FULL north-star parameter set (BASELINE.json): every
+step computes `value_and_grad` of the point-cloud intensity loss w.r.t.
+  * the measured BRDF table  (inverse appearance),
+  * the sensor ray origins   (pose refinement), and
+  * the scene vertex positions (geometry refinement; face normals are
+    recomputed from the vertices inside the step, so geometry gradients
+    flow through both the differentiable hit re-evaluation AND shading).
+All three gradients chain into the training carry so XLA cannot hoist any
+of the pipeline out of the timed loop.
+
 Workloads (select with BENCH_CONFIG):
   tls          (default) BASELINE-shape TLS scan: 131k pulses x 10 rays,
                40k-face city scene, measured-table BRDF, single return.
   multireturn  BASELINE config 3: footprint supersampling + multi-return
                extraction, >=1M beams (1.05M pulses x 10 rays, 2 returns).
   als          BASELINE config 4: ALS zigzag flight over a ~5M-triangle
-               displaced terrain.
+               displaced terrain, full ~1.1M-pulse flight plan.
   alphaprime   the largest reference sensor preset (AlphaPrime,
                LiDARParameters.h:454-469): 3600x364 pulses x 10 rays
                = 13.1M rays/scan, 2 returns.
-All run the same fwd+bwd inverse-rendering loop (loss -> BRDF-table grads).
 Results for non-default configs are also appended to BENCH_EXTRA.json.
 """
 
@@ -39,10 +48,17 @@ CONFIGS = {
                 num_tris=40_000, traverser="tile"),
     "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
                         scene="city", num_tris=40_000, traverser="tile"),
-    "als": dict(pulses=131072, rays_pulse=10, max_returns=2,
+    "als": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
                 scene="terrain", num_tris=5_000_000, traverser="pulse"),
     "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
                        scene="city", num_tris=40_000, traverser="tile"),
+    # fresh forward scan, END-TO-END: Simulator.run wall-clock including
+    # the host beam cull (TRAVERSE_PREP, double-buffered with device
+    # compute), chunking, and point-cloud readback — the reference's
+    # primary interactive use (`while arePendingRays()` batch loop,
+    # LiDARSimulation.cpp:316-341)
+    "forward": dict(pulses=1_048_576, rays_pulse=10, max_returns=1,
+                    scene="city", num_tris=40_000, traverser="none"),
 }
 
 
@@ -139,11 +155,20 @@ def _build_host_state(config, spec):
         config, num_pulses, rays_per_pulse, spec["max_returns"],
         spec["scene"], int(os.environ.get("BENCH_TRIS", spec["num_tris"])))
     block_pulses = max(1, 640 // rays_per_pulse)
-    rays = bsp_order(rays, block_pulses)
     kind = os.environ.get("BENCH_TRAVERSER", spec["traverser"])
+    if kind != "none":      # forward e2e mode reorders inside Simulator.run
+        rays = bsp_order(rays, block_pulses)
     t_max = float(cfg.max_range) * 1.2
     o = np.asarray(rays.origin)
     d = np.asarray(rays.direction)
+    group = int(os.environ.get("BENCH_GROUP", spec.get("group", 1)))
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    if kind == "none":      # forward e2e mode: Simulator culls per chunk
+        return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
+                    rays=to_np(rays), materials=to_np(materials),
+                    scalars=to_np(scalars), noise=np.asarray(noise),
+                    raw_buckets=None, t_max=t_max, kind=kind, group=group,
+                    block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
     if kind == "tile":
         from lidar_brdf_tpu.kernels.traverse_pallas import \
             PallasCulledTraverser
@@ -152,12 +177,13 @@ def _build_host_state(config, spec):
         raw = tr.build_buckets(bvh, o, d, t_max=t_max)
     else:
         from lidar_brdf_tpu.kernels.pulse_pallas import build_pulse_ladders
-        raw = build_pulse_ladders(bvh, o, d, rays_per_pulse, t_max=t_max)
+        raw = build_pulse_ladders(bvh, o, d, rays_per_pulse * group,
+                                  t_max=t_max)
     to_np = lambda t: jax.tree.map(np.asarray, t)
     return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
                 rays=to_np(rays), materials=to_np(materials),
                 scalars=to_np(scalars), noise=np.asarray(noise),
-                raw_buckets=raw, t_max=t_max, kind=kind,
+                raw_buckets=raw, t_max=t_max, kind=kind, group=group,
                 block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
 
 
@@ -205,6 +231,10 @@ def load_workload(config, spec):
     scene, bvh, cfg, rays = (state["scene"], state["bvh"], state["cfg"],
                              state["rays"])
     interpret = jax.default_backend() == "cpu"
+    if state["kind"] == "none":
+        total_rays = rays.num_pulses * rays.rays_per_pulse
+        return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
+                state["noise"], None, None, total_rays)
     if state["kind"] == "tile":
         from lidar_brdf_tpu.kernels.traverse_pallas import \
             PallasCulledTraverser
@@ -221,7 +251,7 @@ def load_workload(config, spec):
         from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
         traverser = PulseLadderTraverser(
             scene, rays_per_pulse=state["rays_per_pulse"],
-            interpret=interpret)
+            group=state.get("group", 1), interpret=interpret)
         traverser.t_max = state["t_max"]
         buckets = tuple(
             tuple(jnp.asarray(a) for a in traverser._pack_bucket(p, c))
@@ -231,6 +261,69 @@ def load_workload(config, spec):
             state["noise"], traverser, buckets, total_rays)
 
 
+def _append_extra(config, line, **fields):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_EXTRA.json")
+    extra = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            extra = json.load(fh)
+    extra[config] = dict(line, **fields)
+    with open(path, "w") as fh:
+        json.dump(extra, fh, indent=1)
+
+
+def forward_main(config, spec, metric):
+    """Fresh forward scan, END-TO-END (VERDICT r02 item 2): Simulator.run
+    wall-clock including per-chunk host beam cull (double-buffered with
+    device compute), dispatch, and host readback."""
+    import jax
+
+    from lidar_brdf_tpu.runtime.metrics import PipelineMetrics
+    from lidar_brdf_tpu.runtime.simulate import Simulator
+
+    (scene, bvh, cfg, rays, materials, scalars, noise, _, _,
+     total_rays) = load_workload(config, spec)
+    chunk = int(os.environ.get("BENCH_CHUNK", 131072))
+    cfg = cfg.with_(chunk_pulses=min(chunk, rays.num_pulses))
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    print(f"# [forward] {rays.num_pulses} pulses x {rays.rays_per_pulse} "
+          f"rays in {-(-rays.num_pulses // cfg.chunk_pulses)} chunks, "
+          f"traverser={type(getattr(sim, '_culler', None)).__name__}",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    warm = sim.run(rays)                      # compile + first full pass
+    warm_s = time.perf_counter() - t0
+    print(f"# warm pass (incl. compile) {warm_s:.1f}s, "
+          f"{int(np.asarray(warm.mask).sum())} points",
+          file=sys.stderr, flush=True)
+    metrics = PipelineMetrics(discard_first=False)
+    t0 = time.perf_counter()
+    cloud = sim.run(rays, metrics=metrics)
+    dt = time.perf_counter() - t0
+    n_points = int(np.asarray(cloud.mask).sum())
+    rays_per_s = total_rays / dt
+    prep_s = sum(metrics.samples.get("TRAVERSE_PREP", []))
+    device_s = sum(metrics.samples.get("TOTAL", []))
+    line = {
+        "metric": metric,
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
+    }
+    print(json.dumps(line))
+    _append_extra(config, line, pulses=rays.num_pulses,
+                  rays_per_pulse=rays.rays_per_pulse,
+                  max_returns=cfg.max_returns, faces=scene.num_faces,
+                  wall_s=round(dt, 2),
+                  traverse_prep_s_overlapped=round(prep_s, 2),
+                  device_total_s=round(device_s, 2),
+                  points=n_points,
+                  note=("end-to-end Simulator.run incl. host cull "
+                        "(double-buffered) + readback"),
+                  device=jax.devices()[0].device_kind)
+
+
 def main():
     import faulthandler
     import threading
@@ -238,8 +331,12 @@ def main():
 
     config = os.environ.get("BENCH_CONFIG", "tls")
     spec = CONFIGS[config]
-    metric = ("rays_per_s_fwd_bwd_per_chip" if config == "tls"
-              else f"rays_per_s_fwd_bwd_per_chip_{config}")
+    if config == "tls":
+        metric = "rays_per_s_fwd_bwd_per_chip"
+    elif config == "forward":
+        metric = "rays_per_s_forward_end_to_end_per_chip"
+    else:
+        metric = f"rays_per_s_fwd_bwd_per_chip_{config}"
 
     # Last-resort watchdog: if the TPU tunnel wedges (compiles hang), still
     # emit a well-formed result line before the driver's timeout.
@@ -257,6 +354,16 @@ def main():
     import jax
     if os.environ.get("BENCH_FORCE_CPU"):   # smoke-testing the harness
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: repeat runs skip the 20-40s tunnel
+    # compiles (the interactive-reference-parity fix, VERDICT r02 #5).
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if config == "forward":
+        return forward_main("forward_end_to_end", spec, metric)
     import jax.numpy as jnp
     from lidar_brdf_tpu.runtime.simulate import simulate_chunk
 
@@ -270,18 +377,36 @@ def main():
           f"{rays.rays_per_pulse} rays, {cfg.max_returns} returns)",
           file=sys.stderr, flush=True)
 
-    def loss_fn(table, origin, scene, bvh, materials, rays, noise, scalars,
-                buckets):
+    def loss_fn(table, origin, verts, scene, bvh, materials, rays, noise,
+                scalars, buckets):
         mats = materials.__class__(**{**materials.__dict__,
                                       "brdf_table": table})
         rays = rays.__class__(origin=origin, direction=rays.direction,
                               gps_time=rays.gps_time)
+        # Rebind the differentiated vertices and RECOMPUTE face normals
+        # from them, so geometry gradients reach shading (N in the radar
+        # equation) as well as the differentiable hit re-evaluation
+        # (`refine_hit_verts`).  The hit topology (BVH, candidate ladders)
+        # stays fixed — the standard differentiable-ray-tracing treatment.
+        f = scene.faces
+        e1 = verts[f[:, 1]] - verts[f[:, 0]]
+        e2 = verts[f[:, 2]] - verts[f[:, 0]]
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        scene = scene.__class__(**{**scene.__dict__, "vertices": verts,
+                                   "face_normals": n})
         cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
                                scene_has_water=False, traverse_fn=traverser,
                                traverse_data=buckets)
         return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    # BENCH_GRADS bisects the gradient set (diagnostics; default full):
+    #   table | table+origin | full
+    grad_sel = os.environ.get("BENCH_GRADS", "full")
+    argnums = {"table": (0,), "table+origin": (0, 1),
+               "full": (0, 1, 2)}[grad_sel]
+    grad_fn = jax.value_and_grad(loss_fn, argnums=argnums)
 
     # device-resident args: steady-state training steps do not re-upload
     # the scene/rays every iteration (host->device transfer is not the
@@ -291,24 +416,31 @@ def main():
                            rays, noise, scalars, buckets))
 
     # The timing loop lives INSIDE one jit: a fori_loop whose carry chains
-    # the gradient back into the table.  One dispatch, one host round-trip,
-    # serially-dependent steps — immune to host/tunnel dispatch latency and
-    # to async-readiness misreporting (both observed through the TPU
-    # tunnel), and it is exactly a steady-state inverse-rendering loop.
+    # every gradient back into its parameter.  One dispatch, one host
+    # round-trip, serially-dependent steps — immune to host/tunnel dispatch
+    # latency and to async-readiness misreporting (both observed through
+    # the TPU tunnel), and it is exactly a steady-state inverse-rendering
+    # loop over {BRDF table, sensor pose, scene geometry}.
     def train_steps(n, table, *rest):
         def body(_, carry):
-            t, origin, acc = carry
-            loss, g = grad_fn(t, origin, *rest)
-            # 1e-30 (not 0.0): keeps the gradient live through XLA's
+            t, origin, verts, acc = carry
+            loss, gs = grad_fn(t, origin, verts, *rest)
+            gt = gs[0]
+            go = gs[1] if len(gs) > 1 else loss
+            gv = gs[2] if len(gs) > 2 else loss
+            # 1e-30 (not 0.0): keeps the gradients live through XLA's
             # algebraic simplifier while leaving the values numerically
-            # unchanged (f32 underflow).  Chaining the ray origins into the
-            # carry keeps the traversal INSIDE the loop — otherwise XLA
-            # hoists everything that does not depend on the table and the
-            # loop only measures shading.
-            return (t + 1e-30 * g, origin + 1e-30 * loss, acc + loss)
-        rays_ = rest[3]
+            # unchanged (f32 underflow).  Chaining origins AND vertices
+            # into the carry keeps traversal, face-pack construction and
+            # normal recomputation INSIDE the loop — otherwise XLA hoists
+            # everything that does not depend on the table and the loop
+            # only measures shading.
+            return (t + 1e-30 * gt, origin + 1e-30 * go,
+                    verts + 1e-30 * gv, acc + loss)
+        scene_, rays_ = rest[0], rest[3]
         return jax.lax.fori_loop(
-            0, n, body, (table, rays_.origin, jnp.float32(0.0)))
+            0, n, body,
+            (table, rays_.origin, scene_.vertices, jnp.float32(0.0)))
 
     stepper = jax.jit(train_steps)   # n dynamic: one compile for any iters
 
@@ -330,6 +462,7 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
+        "grads": "brdf_table+sensor_origin+scene_vertices",
     }
     print(json.dumps(line))
     if config != "tls":

@@ -163,9 +163,14 @@ def build_pulse_ladders(bvh: BVH, origins: np.ndarray, directions: np.ndarray,
         B = pidx.shape[0]
         B_pad = -(-B // LANES) * LANES
         cand = np.full((B_pad, int(size)), -1, np.int32)
-        for row, p in enumerate(pidx):
-            c = counts[p]
-            cand[row, :c] = faces_out[offsets[p]:offsets[p] + c]
+        # vectorized ragged fill (a Python per-pulse loop here costs
+        # seconds at 1M pulses)
+        cnt = counts[pidx].astype(np.int64)
+        rows = np.repeat(np.arange(B, dtype=np.int64), cnt)
+        ends = np.cumsum(cnt)
+        cols = np.arange(ends[-1] if B else 0, dtype=np.int64) \
+            - np.repeat(ends - cnt, cnt)
+        cand[rows, cols] = faces_out[np.repeat(offsets[pidx], cnt) + cols]
         pidx_arr = np.full(B_pad, num_pulses, np.int32)
         pidx_arr[:B] = pidx
         buckets.append((pidx_arr, cand))
@@ -191,9 +196,16 @@ class PulseLadderTraverser:
     """
 
     def __init__(self, scene: TriangleScene, rays_per_pulse: int, *,
-                 interpret: bool | None = None):
+                 group: int = 1, interpret: bool | None = None):
         from ..geom.beamcull import wald_rows_np
         self.rays_per_pulse = int(rays_per_pulse)
+        # ``group`` adjacent pulses share ONE candidate ladder.  Adjacent
+        # pulses in a scan line (or a BSP-ordered block) see nearly the
+        # same triangles, so the union ladder grows far slower than x group
+        # while the Wald-row HBM footprint shrinks by ~x group — the
+        # row-duplication cost this file's header describes.  group=1 is
+        # the exact per-pulse scheme.
+        self.group = int(group)
         self.wald_np = wald_rows_np(np.asarray(scene.vertices),
                                     np.asarray(scene.faces))
         if interpret is None:
@@ -201,13 +213,18 @@ class PulseLadderTraverser:
         self.interpret = bool(interpret)
         self.t_max = None
 
+    @property
+    def kernel_rays(self) -> int:
+        """Rays per ladder entity (= per kernel lane)."""
+        return self.rays_per_pulse * self.group
+
     def beams_ok(self, origin, direction) -> bool:
-        """Per-pulse cones narrow enough for culling to pay off (same
+        """Per-group cones narrow enough for culling to pay off (same
         MIN_COS_HALF contract as the tile culler)."""
         from ..geom.beamcull import beams_are_narrow, tile_beams
         o = np.asarray(origin, np.float32).reshape(-1, 3)
         d = np.asarray(direction, np.float32).reshape(-1, 3)
-        return beams_are_narrow(tile_beams(o, d, self.rays_per_pulse))
+        return beams_are_narrow(tile_beams(o, d, self.kernel_rays))
 
     def _resolve_t_max(self, bvh: BVH, o: np.ndarray,
                        t_max: float | None) -> float:
@@ -239,7 +256,7 @@ class PulseLadderTraverser:
         d = np.asarray(direction, np.float32).reshape(-1, 3)
         t_max = self._resolve_t_max(bvh, o, t_max)
         buckets = build_pulse_ladders(
-            bvh, o, d, self.rays_per_pulse, t_max=t_max)
+            bvh, o, d, self.kernel_rays, t_max=t_max)
         return tuple(tuple(jnp.asarray(a) for a in self._pack_bucket(p, c))
                      for p, c in buckets)
 
@@ -256,7 +273,7 @@ class PulseLadderTraverser:
         ``(n_shards,)`` axis, ready to shard with ``P(ray_axis)`` on axis 0
         (shard_map then sees exactly one :meth:`prepare` result per device).
         """
-        R = self.rays_per_pulse
+        R = self.kernel_rays
         o = np.asarray(origin, np.float32).reshape(-1, 3)
         d = np.asarray(direction, np.float32).reshape(-1, 3)
         t_max = self._resolve_t_max(bvh, o, t_max)
@@ -300,7 +317,7 @@ class PulseLadderTraverser:
         return tuple(out)
 
     def __call__(self, origin, direction, traverse_data) -> Hit:
-        R = self.rays_per_pulse
+        R = self.kernel_rays
         shape = origin.shape[:-1]
         o = jax.lax.stop_gradient(origin.reshape(-1, R, 3))
         d = jax.lax.stop_gradient(direction.reshape(-1, R, 3))

@@ -170,6 +170,7 @@ class Simulator:
     use_pallas: bool | None = None    # explicit opt-in only (tile kernel)
     use_culled: bool | None = None    # None = auto (water-free scenes)
     reorder: bool | None = None       # None = auto (when culled is active)
+    pulse_group: int | None = None    # None = auto; pulses per shared ladder
 
     def __post_init__(self):
         from ..api import attach_face_neighbors
@@ -216,10 +217,21 @@ class Simulator:
             if pick_pulse:
                 from ..kernels.pulse_pallas import PulseLadderTraverser
                 self.block_pulses = max(1, 640 // rpp)
+                # Pulse grouping: adjacent pulses share one candidate
+                # ladder, cutting the Wald-row HBM duplication ~x group
+                # (measured on v5e: group=4 lifted the 5M-face ALS config
+                # from 17.5 to >30 M rays/s).  The group must divide the
+                # static chunk shape so grouped lanes never straddle a
+                # chunk boundary (zero-direction pad rays inside a tail
+                # group are ignored by the cull and miss in the kernel).
+                grp = self.pulse_group if self.pulse_group is not None else 4
+                while grp > 1 and self.cfg.chunk_pulses % grp:
+                    grp //= 2
                 self._culler = PulseLadderTraverser(
-                    self.scene, rays_per_pulse=rpp, interpret=not on_tpu)
-                if self.reorder is None:     # per-pulse ladders don't need
-                    self.reorder = False     # block coherence
+                    self.scene, rays_per_pulse=rpp, group=grp,
+                    interpret=not on_tpu)
+                if self.reorder is None:  # natural scan order is already
+                    self.reorder = False  # coherent at group granularity
             elif pick_pallas:
                 import math
                 from ..kernels.traverse_pallas import PallasCulledTraverser
@@ -270,6 +282,12 @@ class Simulator:
         ``materials`` overrides the bound MaterialTable WITHOUT recompiling
         (tables are traced arguments) — the reference's per-wavelength
         material SSBO re-bind (`LiDARSimulation.cpp:303,428-437`).
+
+        Host candidate building is DOUBLE-BUFFERED: a worker thread culls
+        chunk i+1's ladders/buckets (numpy + the native OpenMP culler, both
+        GIL-releasing) while chunk i's device program runs — the reference's
+        `while arePendingRays()` loop overlaps nothing
+        (`LiDARSimulation.cpp:316-341`).
         """
         if self._culled_active and self.reorder is not False:
             rays = bsp_order(rays, self.block_pulses)
@@ -283,14 +301,38 @@ class Simulator:
             ckpt = ChunkCheckpointer(checkpoint_dir)
             done = ckpt.completed_chunks()
             clouds = [ckpt.load_chunk(i) for i in range(done)]
-        for ci, lo in enumerate(range(0, P, chunk)):
-            if ci < done:
-                continue
-            hi = min(lo + chunk, P)
-            cloud = self._run_slice(rays, lo, hi, chunk, metrics, materials)
-            if ckpt is not None:
-                ckpt.save_chunk(ci, cloud)
-            clouds.append(jax.tree.map(np.asarray, cloud))
+        spans = [(ci, lo, min(lo + chunk, P))
+                 for ci, lo in enumerate(range(0, P, chunk)) if ci >= done]
+        if not spans:
+            return concat_pointclouds(clouds)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(lo, hi):
+            sl = self._pad_slice(rays, lo, hi, chunk)
+            return sl, self._prep_slice(sl, metrics)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, spans[0][1], spans[0][2])
+            for k, (ci, lo, hi) in enumerate(spans):
+                sl, traverse_data = fut.result()
+                if k + 1 < len(spans):   # prefetch the next chunk's cull
+                    fut = pool.submit(prep, spans[k + 1][1], spans[k + 1][2])
+                if metrics is not None:
+                    with metrics.stage("TOTAL") as m:
+                        cloud = self.run_chunk(
+                            sl, lo * rays.rays_per_pulse, traverse_data,
+                            materials)
+                        m["sync"] = cloud.intensity
+                else:
+                    cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
+                                           traverse_data, materials)
+                # np.asarray blocks on the device result; the pool thread
+                # culls the NEXT chunk meanwhile
+                cloud = jax.tree.map(np.asarray, cloud)
+                if ckpt is not None:
+                    ckpt.save_chunk(ci, cloud)
+                clouds.append(cloud)
         return concat_pointclouds(clouds)
 
     def coherent_order(self, rays: RayBundle) -> RayBundle:
@@ -386,40 +428,46 @@ class Simulator:
                 jax.tree.map(np.asarray, cloud)
         return metrics
 
-    def _run_slice(self, rays: RayBundle, lo: int, hi: int, chunk: int,
-                   metrics=None, materials=None) -> PointCloud:
-        sl = jax.tree.map(lambda a: a[lo:hi], rays)
-        if hi - lo < chunk:   # pad the tail chunk to the static shape
+    def _pad_slice(self, rays: RayBundle, lo: int, hi: int,
+                   chunk: int) -> RayBundle:
+        """Slice [lo, hi) of the pulses, padded to the static chunk shape.
+
+        Padded pulses: origin far outside the scene with zero direction ->
+        slab test misses immediately, no hits, masked out naturally (and
+        the beam cull ignores zero-direction rays, `tile_beams`)."""
+        sl = jax.tree.map(lambda a: np.asarray(a)[lo:hi], rays)
+        if hi - lo < chunk:
             pad = chunk - (hi - lo)
-            # Padded pulses: origin far outside the scene with zero
-            # direction -> slab test misses immediately, no hits, masked
-            # out naturally.
             sl = RayBundle(
-                origin=jnp.concatenate(
-                    [jnp.asarray(sl.origin),
-                     jnp.full((pad,) + sl.origin.shape[1:], 1e10,
-                              sl.origin.dtype)]),
-                direction=jnp.concatenate(
-                    [jnp.asarray(sl.direction),
-                     jnp.zeros((pad,) + sl.direction.shape[1:],
-                               sl.direction.dtype)]),
-                gps_time=jnp.concatenate(
-                    [jnp.asarray(sl.gps_time),
-                     jnp.zeros(pad, jnp.asarray(sl.gps_time).dtype)]),
+                origin=np.concatenate(
+                    [sl.origin,
+                     np.full((pad,) + sl.origin.shape[1:], 1e10,
+                             sl.origin.dtype)]),
+                direction=np.concatenate(
+                    [sl.direction,
+                     np.zeros((pad,) + sl.direction.shape[1:],
+                              sl.direction.dtype)]),
+                gps_time=np.concatenate(
+                    [sl.gps_time, np.zeros(pad, sl.gps_time.dtype)]),
             )
-        traverse_data = None
-        if self._culled_active:
-            o_np = np.asarray(sl.origin)
-            d_np = np.asarray(sl.direction)
+        return sl
+
+    def _prep_slice(self, sl: RayBundle, metrics=None):
+        """Host-side beam cull for one padded chunk (worker-thread safe:
+        numpy + the native OpenMP culler release the GIL; the jnp.asarray
+        device puts in ``prepare`` are thread-safe)."""
+        if not self._culled_active:
+            return None
+        o_np = np.asarray(sl.origin)
+        d_np = np.asarray(sl.direction)
+        ctx = metrics.stage("TRAVERSE_PREP") if metrics is not None else None
+        if ctx is not None:
+            ctx.__enter__()
+        try:
             if self._culler.beams_ok(o_np, d_np):
-                traverse_data = self._culler.prepare(
-                    self.bvh, o_np, d_np, t_max=self._t_max)
-            # else: wide beams (incoherent rays) — packet fallback
-        if metrics is not None:
-            with metrics.stage("TOTAL") as m:
-                cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
-                                       traverse_data, materials)
-                m["sync"] = cloud.intensity
-            return cloud
-        return self.run_chunk(sl, lo * rays.rays_per_pulse, traverse_data,
-                              materials)
+                return self._culler.prepare(self.bvh, o_np, d_np,
+                                            t_max=self._t_max)
+            return None   # wide beams (incoherent rays) — packet fallback
+        finally:
+            if ctx is not None:
+                ctx.__exit__(None, None, None)

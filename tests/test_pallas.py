@@ -155,6 +155,56 @@ def test_pulse_ladder_matches_brute(rng):
         assert diff.mean() < 0.05
 
 
+def test_pulse_ladder_grouped_matches(rng):
+    """group>1 shares one ladder across adjacent pulses — results must be
+    identical to the per-pulse scheme (the union candidate set is a
+    conservative superset for every member ray)."""
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=6)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    o, d = _fan_rays()                       # 256 rays
+    R = 4                                    # 64 pulses of 4 rays
+    oP = jnp.asarray(o.reshape(-1, R, 3))
+    dP = jnp.asarray(d.reshape(-1, R, 3))
+    tr1 = PulseLadderTraverser(scene, rays_per_pulse=R, interpret=True)
+    hit1 = tr1(oP, dP, tr1.prepare(tree, o, d, t_max=500.0))
+    for grp in (2, 4):
+        trg = PulseLadderTraverser(scene, rays_per_pulse=R, group=grp,
+                                   interpret=True)
+        hitg = trg(oP, dP, trg.prepare(tree, o, d, t_max=500.0))
+        np.testing.assert_array_equal(np.asarray(hitg.face),
+                                      np.asarray(hit1.face))
+        m = np.asarray(hit1.face) >= 0
+        np.testing.assert_allclose(np.asarray(hitg.t)[m],
+                                   np.asarray(hit1.t)[m], rtol=1e-5)
+
+
+def test_pulse_ladder_grouped_pad_boundary(rng):
+    """A group straddling real rays and zero-direction pad rays must cull
+    from the real rays only (pads miss; reals keep their hits)."""
+    from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=4)
+    tree = bvh_mod.build_bvh(np.asarray(scene.vertices),
+                             np.asarray(scene.faces))
+    o, d = _fan_rays()                       # 256 rays = 64 pulses of 4
+    R = 4
+    # pad the last 2 pulses the way Simulator._run_slice does
+    o2, d2 = o.copy().reshape(-1, R, 3), d.copy().reshape(-1, R, 3)
+    o2[-2:] = 1e10
+    d2[-2:] = 0.0
+    trg = PulseLadderTraverser(scene, rays_per_pulse=R, group=4,
+                               interpret=True)
+    hitg = trg(jnp.asarray(o2), jnp.asarray(d2),
+               trg.prepare(tree, o2, d2, t_max=500.0))
+    tr1 = PulseLadderTraverser(scene, rays_per_pulse=R, interpret=True)
+    hit1 = tr1(jnp.asarray(o2[:-2]), jnp.asarray(d2[:-2]),
+               tr1.prepare(tree, o2[:-2], d2[:-2], t_max=500.0))
+    np.testing.assert_array_equal(np.asarray(hitg.face)[-2:], -1)
+    np.testing.assert_array_equal(np.asarray(hitg.face)[:-2],
+                                  np.asarray(hit1.face))
+
+
 def test_pulse_ladder_chunked_matches(rng, monkeypatch):
     import lidar_brdf_tpu.kernels.pulse_pallas as pp
     scene = synthetic.rough_terrain(rng, num_tris=20_000, half=30.0)
