@@ -383,19 +383,14 @@ def main():
                                       "brdf_table": table})
         rays = rays.__class__(origin=origin, direction=rays.direction,
                               gps_time=rays.gps_time)
-        # Rebind the differentiated vertices and RECOMPUTE face normals
-        # from them, so geometry gradients reach shading (N in the radar
-        # equation) as well as the differentiable hit re-evaluation
-        # (`refine_hit_verts`).  The hit topology (BVH, candidate ladders)
-        # stays fixed — the standard differentiable-ray-tracing treatment.
-        f = scene.faces
-        e1 = verts[f[:, 1]] - verts[f[:, 0]]
-        e2 = verts[f[:, 2]] - verts[f[:, 0]]
-        n = jnp.cross(e1, e2)
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                            1e-12)
-        scene = scene.__class__(**{**scene.__dict__, "vertices": verts,
-                                   "face_normals": n})
+        # Rebind the differentiated vertices; the pipeline recomputes the
+        # winner facet normal from them per hit (`face_normal_from_verts`),
+        # so geometry gradients reach shading (N in the radar equation) as
+        # well as the differentiable hit re-evaluation (`refine_hit_verts`)
+        # with only P-sized per-step work.  The hit topology (BVH,
+        # candidate ladders) stays fixed — the standard differentiable-
+        # ray-tracing treatment.
+        scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
         cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
                                scene_has_water=False, traverse_fn=traverser,
                                traverse_data=buckets)

@@ -148,16 +148,29 @@ def intersect_bvh(scene: TriangleScene, bvh: BVH, origin, direction) -> Hit:
     return Hit(t=t_best.reshape(shape), face=face_best.reshape(shape))
 
 
+def face_normal_from_verts(v0, v1, v2):
+    """Unit facet normal from triangle vertices — the same
+    normalize(cross(v1-v0, v2-v0)) convention every scene loader uses
+    (`io/synthetic.py::scene_from_arrays`).  Computed per-HIT instead of
+    gathered from the precomputed (F, 3) table so geometry gradients flow
+    to the vertices without any F-sized per-step op (an F-sized normal
+    recompute + its scatter-add transpose costs ~1.5 s/step at 5M faces)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
+    return n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
 def refine_hit(scene: TriangleScene, origin, direction, face_idx):
     """Differentiable re-evaluation of the hit for a fixed face choice.
 
     Returns (t, point, barycentrics(u, v), face_normal, valid).  Gradients
-    flow to ``scene.vertices``, ``origin`` and ``direction``; the face index
-    is data.  (Reference analogue: the collision record written by
-    `findBVHCollision-comp.glsl:74-90`.)
+    flow to ``scene.vertices``, ``origin`` and ``direction`` — including
+    through the facet normal, recomputed from the gathered vertices; the
+    face index is data.  (Reference analogue: the collision record written
+    by `findBVHCollision-comp.glsl:74-90`.)
     """
     v0, v1, v2 = _gather_tri(scene, face_idx)
-    normal = scene.face_normals[jnp.maximum(face_idx, 0)]
+    normal = face_normal_from_verts(v0, v1, v2)
     t, point, uv, valid = refine_hit_verts(origin, direction,
                                            v0, v1, v2, face_idx)
     return t, point, uv, normal, valid

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..core.config import SensorConfig
 from ..core.types import (BVH, MaterialTable, RayBundle, SURFACE_TERRAIN,
                           SURFACE_WATER, TriangleScene)
-from ..geom.intersect import BIG, intersect_bvh, refine_hit, refine_hit_verts
+from ..geom.intersect import (BIG, face_normal_from_verts,
+                              intersect_bvh, refine_hit, refine_hit_verts)
 from ..utils import noise as noise_mod
 from .types import ReturnRecord, OutlierRecord
 
@@ -115,11 +116,14 @@ def _refract(I, N, eta):
 
 
 # Packed per-face row layout (`build_face_pack`): float32 columns
-#   0:3 v0   3:6 v1   6:9 v2   9:12 face normal
-#   12:14 uv0  14:16 uv1  16:18 uv2
-#   18 ks  19 ns  20 refractive index  21 roughness  22 comp noise draw
-#   23 comp id  24 material id  25 surface flags   (ints, exact in f32)
-FACE_PACK_WIDTH = 26
+#   0:3 v0   3:6 v1   6:9 v2
+#   9:11 uv0  11:13 uv1  13:15 uv2
+#   15 ks  16 ns  17 refractive index  18 roughness  19 comp noise draw
+#   20 comp id  21 material id  22 surface flags   (ints, exact in f32)
+# The facet normal is NOT stored: it is recomputed per winner from the
+# vertex columns (`face_normal_from_verts`), which keeps geometry
+# gradients P-sized and saves 3 columns of HBM.
+FACE_PACK_WIDTH = 23
 
 
 def build_face_pack(scene: TriangleScene, materials: MaterialTable,
@@ -130,7 +134,7 @@ def build_face_pack(scene: TriangleScene, materials: MaterialTable,
     row gathers the return loop would otherwise issue (3 vertices + normal
     for `refine_hit`, face->comp, comp->material/surface, vertex ks/ns,
     3 uv rows, material refraction/roughness, the per-component noise draw)
-    collapse into ONE (P, 26) gather of this table.  Construction itself
+    collapse into ONE (P, 23) gather of this table.  Construction itself
     costs ~10 F-row gathers, but it depends only on (scene, materials,
     noise) — XLA hoists it out of training loops, and chunked runs reuse it
     across chunks — so it amortizes whenever faces < pulses simulated.
@@ -151,7 +155,7 @@ def build_face_pack(scene: TriangleScene, materials: MaterialTable,
     fl = jnp.float32
     return jnp.concatenate([
         scene.vertices[f[:, 0]], scene.vertices[f[:, 1]],
-        scene.vertices[f[:, 2]], scene.face_normals,
+        scene.vertices[f[:, 2]],
         scene.vertex_uv[f[:, 0]], scene.vertex_uv[f[:, 1]],
         scene.vertex_uv[f[:, 2]],
         vert_ksns[f[:, 0]], mrow, comp_rand[:, None].astype(fl),
@@ -235,12 +239,15 @@ def simulate_returns(
 
     # Fused lookup rows — TPU gathers are priced per row.  Preferred: ONE
     # packed (F, 26) face row (`build_face_pack`) gathered once per level.
-    # Auto-gate: packing pays when the construction (~10 F-row gathers,
-    # loop-hoistable) is smaller than the per-level gathers it replaces;
-    # huge scenes scanned by few pulses keep the narrow split tables
-    # (pass face_pack=<array> to force, False to disable).
+    # Auto-gate: packing pays when the construction (~10 F-row gathers —
+    # loop-hoistable only while the scene is NOT being differentiated/
+    # updated) is smaller than the ~10 P-row per-level gathers it replaces:
+    # F-row build vs P·L-row savings, so the break-even is F ≈ P·L (the
+    # old F ≤ P·R·L gate over-packed by the ray factor and cost 5M-face
+    # inverse-geometry steps an F-row rebuild + scatter per step).
+    # Pass face_pack=<array> to force, False to disable.
     if face_pack is None:
-        if scene.num_faces <= P * R * max(max_returns, 1):
+        if scene.num_faces <= P * max(max_returns, 1):
             face_pack = build_face_pack(scene, materials, noise_buf)
         else:
             face_pack = False
@@ -288,15 +295,16 @@ def simulate_returns(
         # plus every co-indexed per-face field — ONE row gather when the
         # packed face table is in play (see `build_face_pack`).
         if face_pack is not None:
-            frow = face_pack[jnp.maximum(face_w, 0)]                # (P, 26)
+            frow = face_pack[jnp.maximum(face_w, 0)]                # (P, 23)
             _, point_w, (u_w, v_w), _ = refine_hit_verts(
                 origin_w, dir_w, frow[:, 0:3], frow[:, 3:6],
                 frow[:, 6:9], face_w)
-            normal_w = frow[:, 9:12]
+            normal_w = face_normal_from_verts(
+                frow[:, 0:3], frow[:, 3:6], frow[:, 6:9])
             verts_w = None
-            comp_w = frow[:, 23].astype(jnp.int32)
-            mat_w = frow[:, 24].astype(jnp.int32)
-            surface_w = frow[:, 25].astype(jnp.int32)
+            comp_w = frow[:, 20].astype(jnp.int32)
+            mat_w = frow[:, 21].astype(jnp.int32)
+            surface_w = frow[:, 22].astype(jnp.int32)
         else:
             frow = None
             _, point_w, (u_w, v_w), normal_w, _ = refine_hit(
@@ -355,8 +363,8 @@ def simulate_returns(
         b0, b1 = scalars.max_range_boundary[0], scalars.max_range_boundary[1]
         noisy_max = scalars.max_range + dnoise * (b1 - b0) + b0
         if face_pack is not None:
-            ksns = frow[:, 18:20]
-            mrow = frow[:, 20:22]
+            ksns = frow[:, 15:17]
+            mrow = frow[:, 17:19]
         else:
             ksns = vert_ksns[verts_w[:, 0]]                         # (P, 2)
             mrow = mat_aug[mat_w]                                   # (P, 2)
@@ -381,7 +389,7 @@ def simulate_returns(
         if cfg.include_shiny_surface_error:
             factor = 1.0 - shininess
             if face_pack is not None:
-                comp_rand = frow[:, 22] * SHINY_MODEL_WEIGHT
+                comp_rand = frow[:, 19] * SHINY_MODEL_WEIGHT
             else:
                 comp_rand = noise_mod.stream_sample(
                     noise_buf, comp_w.astype(jnp.uint32),
@@ -408,7 +416,7 @@ def simulate_returns(
                                   point_rec + shift, point_rec)
 
         if face_pack is not None:
-            uv0, uv1, uv2 = frow[:, 12:14], frow[:, 14:16], frow[:, 16:18]
+            uv0, uv1, uv2 = frow[:, 9:11], frow[:, 11:13], frow[:, 13:15]
         else:
             uvs = scene.vertex_uv[verts_w]                          # (P, 3, 2)
             uv0, uv1, uv2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]

@@ -217,14 +217,18 @@ class Simulator:
             if pick_pulse:
                 from ..kernels.pulse_pallas import PulseLadderTraverser
                 self.block_pulses = max(1, 640 // rpp)
-                # Pulse grouping: adjacent pulses share one candidate
-                # ladder, cutting the Wald-row HBM duplication ~x group
-                # (measured on v5e: group=4 lifted the 5M-face ALS config
-                # from 17.5 to >30 M rays/s).  The group must divide the
-                # static chunk shape so grouped lanes never straddle a
-                # chunk boundary (zero-direction pad rays inside a tail
-                # group are ignored by the cull and miss in the kernel).
-                grp = self.pulse_group if self.pulse_group is not None else 4
+                # Pulse grouping: adjacent pulses can share one candidate
+                # ladder, cutting Wald-row HBM duplication ~x group at the
+                # cost of union-candidate growth.  Measured on v5e (5M-face
+                # rough terrain, 131k pulses, full-grad step): group=1
+                # 7.9M rays/s vs group=4 4.9M — per-pulse footprints on
+                # dense terrain share too few triangles, so group=1 is the
+                # default; coarser meshes scanned at high pulse density can
+                # opt in.  The group must divide the static chunk shape so
+                # grouped lanes never straddle a chunk boundary (zero-
+                # direction pad rays inside a tail group are ignored by the
+                # cull and miss in the kernel).
+                grp = self.pulse_group if self.pulse_group is not None else 1
                 while grp > 1 and self.cfg.chunk_pulses % grp:
                     grp //= 2
                 self._culler = PulseLadderTraverser(

@@ -76,3 +76,93 @@ def render_png(cloud: PointCloud, path: str, mode: str = "height",
 def render_all_modes(cloud: PointCloud, prefix: str, **kw) -> list[str]:
     return [render_png(cloud, f"{prefix}_{mode}.png", mode, **kw)
             for mode in RENDER_MODES]
+
+
+# 20-entry categorical palette (tab20-like) for semantic/ASPRS face colors
+_PALETTE = np.array([
+    [0.12, 0.47, 0.71], [0.68, 0.78, 0.91], [1.00, 0.50, 0.05],
+    [1.00, 0.73, 0.47], [0.17, 0.63, 0.17], [0.60, 0.87, 0.54],
+    [0.84, 0.15, 0.16], [1.00, 0.60, 0.59], [0.58, 0.40, 0.74],
+    [0.77, 0.69, 0.84], [0.55, 0.34, 0.29], [0.77, 0.61, 0.58],
+    [0.89, 0.47, 0.76], [0.97, 0.71, 0.82], [0.50, 0.50, 0.50],
+    [0.78, 0.78, 0.78], [0.74, 0.74, 0.13], [0.86, 0.86, 0.55],
+    [0.09, 0.75, 0.81], [0.62, 0.85, 0.90]], np.float32)
+
+
+def render_ortho(scene, path: str, *, mode: str = "kad", size: int = 512
+                 ) -> dict:
+    """Top-down orthographic backdrop for path drawing (no GL, no deps).
+
+    The reference captures an aerial ortho view into an FBO texture and
+    draws the TLS/ALS path canvas on top of it (`LiDARScene.cpp:118-163`,
+    `GUI.cpp:160-272`).  Here: a numpy z-buffer rasterization of the scene
+    faces onto the XZ plane, written as PNG by the bundled codec.
+
+    Pixel coordinates ARE canvas coordinates: pixel (col u, row v) maps to
+    world (x, z) exactly as `api.tls_path_from_canvas` /
+    `SensorConfig.als_manual_path` map canvas points with
+    ``canvas_size=(W, H)`` — so a path drawn in image pixels feeds those
+    APIs unchanged (row 0 = min Z; flip vertically for display if you want
+    +Z up).
+
+    ``mode``: 'kad' (baked diffuse albedo), 'semantic', 'asprs', 'height'.
+    Returns {path, canvas_size, world_min, world_size} (the mapping info).
+    """
+    from .io.png import write_png
+
+    V = np.asarray(scene.vertices, np.float64)
+    F = np.asarray(scene.faces)
+    lo, hi = V.min(axis=0), V.max(axis=0)
+    span = np.maximum(hi - lo, 1e-9)
+    W = H = int(size)
+    # world -> pixel (match tls_path_from_canvas: world = px/W*size+min)
+    px = (V[:, 0] - lo[0]) / span[0] * W
+    pz = (V[:, 2] - lo[2]) / span[2] * H
+
+    if mode == "kad":
+        kad = np.asarray(scene.vertex_kad, np.float64)
+        fcol = kad[F].mean(axis=1)
+    elif mode in ("semantic", "asprs"):
+        labels = np.asarray(getattr(scene, f"comp_{mode}"))
+        fcol = _PALETTE[labels[np.asarray(scene.face_comp)] % len(_PALETTE)]
+    elif mode == "height":
+        fy = V[F, 1].mean(axis=1)
+        t = (fy - lo[1]) / span[1]
+        fcol = np.stack([t, 0.2 + 0.6 * t, 1.0 - t], axis=1)
+    else:
+        raise ValueError(f"unknown ortho mode {mode!r}")
+
+    img = np.zeros((H, W, 3), np.float32)
+    zbuf = np.full((H, W), -np.inf)
+    tri_px = np.stack([px[F], pz[F]], axis=-1)          # (F, 3, 2)
+    tri_y = V[F, 1]                                     # (F, 3)
+    order = np.argsort(tri_y.mean(axis=1))              # low first
+    for fi in order:
+        t2 = tri_px[fi]
+        x0, y0 = np.floor(t2.min(axis=0)).astype(int)
+        x1, y1 = np.ceil(t2.max(axis=0)).astype(int)
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, W - 1), min(y1, H - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1) + 0.5,
+                             np.arange(y0, y1 + 1) + 0.5)
+        a, b, c = t2[0], t2[1], t2[2]
+        det = (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+        if abs(det) < 1e-12:
+            continue
+        l1 = ((gx - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (gy - a[1])) / det
+        l2 = ((b[0] - a[0]) * (gy - a[1]) - (gx - a[0]) * (b[1] - a[1])) / det
+        l0 = 1.0 - l1 - l2
+        inside = (l0 >= -1e-9) & (l1 >= -1e-9) & (l2 >= -1e-9)
+        if not inside.any():
+            continue
+        depth = l0 * tri_y[fi, 0] + l1 * tri_y[fi, 1] + l2 * tri_y[fi, 2]
+        sub_z = zbuf[y0:y1 + 1, x0:x1 + 1]
+        upd = inside & (depth > sub_z)
+        sub_z[upd] = depth[upd]
+        img[y0:y1 + 1, x0:x1 + 1][upd] = fcol[fi]
+    write_png(path, img)
+    return {"path": path, "canvas_size": (W, H),
+            "world_min": (float(lo[0]), float(lo[2])),
+            "world_size": (float(span[0]), float(span[2]))}
