@@ -44,14 +44,23 @@ PER_CHIP_TARGET = 100e6 / 8.0
 # scenes need the per-pulse ladders (tile footprints on the 5M-face
 # terrain hold ~3k candidates: 0.31 vs 17.5 M rays/s).
 CONFIGS = {
+    # "subchunks": the in-jit training step processes pulses in that many
+    # checkpointed sub-chunks.  Full-gradient backward passes materialize
+    # (P, rays) temporaries whose minor dim (rays=10) pads 12.8x to the
+    # 128-lane tile; at >=1M pulses a single-chunk backward needs ~21 GB
+    # HBM (measured OOM on v5e).  jax.checkpoint scopes the backward peak
+    # to one sub-chunk — the same trade Simulator.run makes on the host.
     "tls": dict(pulses=131072, rays_pulse=10, max_returns=1, scene="city",
                 num_tris=40_000, traverser="tile"),
     "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
-                        scene="city", num_tris=40_000, traverser="tile"),
+                        scene="city", num_tris=40_000, traverser="tile",
+                        subchunks=4),
     "als": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
-                scene="terrain", num_tris=5_000_000, traverser="pulse"),
+                scene="terrain", num_tris=5_000_000, traverser="pulse",
+                subchunks=4),
     "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
-                       scene="city", num_tris=40_000, traverser="tile"),
+                       scene="city", num_tris=40_000, traverser="tile",
+                       subchunks=4),
     # fresh forward scan, END-TO-END: Simulator.run wall-clock including
     # the host beam cull (TRAVERSE_PREP, double-buffered with device
     # compute), chunking, and point-cloud readback — the reference's
@@ -162,28 +171,39 @@ def _build_host_state(config, spec):
     o = np.asarray(rays.origin)
     d = np.asarray(rays.direction)
     group = int(os.environ.get("BENCH_GROUP", spec.get("group", 1)))
+    sub = int(os.environ.get("BENCH_SUBCHUNKS", spec.get("subchunks", 1)))
     to_np = lambda t: jax.tree.map(np.asarray, t)
     if kind == "none":      # forward e2e mode: Simulator culls per chunk
         return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
                     rays=to_np(rays), materials=to_np(materials),
                     scalars=to_np(scalars), noise=np.asarray(noise),
                     raw_buckets=None, t_max=t_max, kind=kind, group=group,
+                    subchunks=1,
                     block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
-    if kind == "tile":
-        from lidar_brdf_tpu.kernels.traverse_pallas import \
-            PallasCulledTraverser
-        tr = PallasCulledTraverser(
-            scene, tile_rays=block_pulses * rays_per_pulse, interpret=True)
-        raw = tr.build_buckets(bvh, o, d, t_max=t_max)
-    else:
-        from lidar_brdf_tpu.kernels.pulse_pallas import build_pulse_ladders
-        raw = build_pulse_ladders(bvh, o, d, rays_per_pulse * group,
-                                  t_max=t_max)
-    to_np = lambda t: jax.tree.map(np.asarray, t)
+    while rays.num_pulses % sub:
+        sub -= 1
+    p_sub = rays.num_pulses // sub
+    raws = []
+    for s in range(sub):
+        o_s = o[s * p_sub:(s + 1) * p_sub]
+        d_s = d[s * p_sub:(s + 1) * p_sub]
+        if kind == "tile":
+            from lidar_brdf_tpu.kernels.traverse_pallas import \
+                PallasCulledTraverser
+            tr = PallasCulledTraverser(
+                scene, tile_rays=block_pulses * rays_per_pulse,
+                interpret=True)
+            raws.append(tr.build_buckets(bvh, o_s, d_s, t_max=t_max))
+        else:
+            from lidar_brdf_tpu.kernels.pulse_pallas import \
+                build_pulse_ladders
+            raws.append(build_pulse_ladders(
+                bvh, o_s, d_s, rays_per_pulse * group, t_max=t_max))
     return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
                 rays=to_np(rays), materials=to_np(materials),
                 scalars=to_np(scalars), noise=np.asarray(noise),
-                raw_buckets=raw, t_max=t_max, kind=kind, group=group,
+                raw_buckets=raws, t_max=t_max, kind=kind, group=group,
+                subchunks=sub,
                 block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
 
 
@@ -231,10 +251,12 @@ def load_workload(config, spec):
     scene, bvh, cfg, rays = (state["scene"], state["bvh"], state["cfg"],
                              state["rays"])
     interpret = jax.default_backend() == "cpu"
+    total_rays = rays.num_pulses * rays.rays_per_pulse
     if state["kind"] == "none":
-        total_rays = rays.num_pulses * rays.rays_per_pulse
         return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
                 state["noise"], None, None, total_rays)
+    sub = state.get("subchunks", 1)
+    p_sub = rays.num_pulses // sub
     if state["kind"] == "tile":
         from lidar_brdf_tpu.kernels.traverse_pallas import \
             PallasCulledTraverser
@@ -242,9 +264,13 @@ def load_workload(config, spec):
             scene,
             tile_rays=state["block_pulses"] * state["rays_per_pulse"],
             interpret=interpret)
-        buckets = traverser.pack_buckets(
-            bvh, state["raw_buckets"], np.asarray(rays.origin),
-            np.asarray(rays.direction), state["t_max"])
+        o = np.asarray(rays.origin)
+        d = np.asarray(rays.direction)
+        buckets = tuple(
+            traverser.pack_buckets(
+                bvh, raw, o[s * p_sub:(s + 1) * p_sub],
+                d[s * p_sub:(s + 1) * p_sub], state["t_max"])
+            for s, raw in enumerate(state["raw_buckets"]))
     else:
         import jax.numpy as jnp
 
@@ -254,9 +280,9 @@ def load_workload(config, spec):
             group=state.get("group", 1), interpret=interpret)
         traverser.t_max = state["t_max"]
         buckets = tuple(
-            tuple(jnp.asarray(a) for a in traverser._pack_bucket(p, c))
-            for p, c in state["raw_buckets"])
-    total_rays = rays.num_pulses * rays.rays_per_pulse
+            tuple(tuple(jnp.asarray(a) for a in traverser._pack_bucket(p, c))
+                  for p, c in raw)
+            for raw in state["raw_buckets"])
     return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
             state["noise"], traverser, buckets, total_rays)
 
@@ -377,12 +403,15 @@ def main():
           f"{rays.rays_per_pulse} rays, {cfg.max_returns} returns)",
           file=sys.stderr, flush=True)
 
-    def loss_fn(table, origin, verts, scene, bvh, materials, rays, noise,
-                scalars, buckets):
+    n_sub = len(buckets)
+    p_sub = rays.num_pulses // n_sub
+    rpp = rays.rays_per_pulse
+    ray_cls = rays.__class__
+
+    def sub_loss(table, origin_s, verts, dir_s, gps_s, base_idx, scene,
+                 bvh, materials, noise, scalars, buckets_s):
         mats = materials.__class__(**{**materials.__dict__,
                                       "brdf_table": table})
-        rays = rays.__class__(origin=origin, direction=rays.direction,
-                              gps_time=rays.gps_time)
         # Rebind the differentiated vertices; the pipeline recomputes the
         # winner facet normal from them per hit (`face_normal_from_verts`),
         # so geometry gradients reach shading (N in the radar equation) as
@@ -391,10 +420,29 @@ def main():
         # candidate ladders) stays fixed — the standard differentiable-
         # ray-tracing treatment.
         scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
-        cloud = simulate_chunk(scene, bvh, mats, rays, noise, scalars, cfg,
+        rays_s = ray_cls(origin=origin_s, direction=dir_s, gps_time=gps_s)
+        cloud = simulate_chunk(scene, bvh, mats, rays_s, noise, scalars,
+                               cfg, base_ray_index=base_idx,
                                scene_has_water=False, traverse_fn=traverser,
-                               traverse_data=buckets)
+                               traverse_data=buckets_s)
         return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+
+    # checkpointed sub-chunks: backward recomputes each sub-chunk's forward
+    # instead of storing (P, rays)-shaped residuals for the WHOLE scan (the
+    # lane-padded layouts of those temporaries OOM a 1M-pulse single-chunk
+    # backward at ~21 GB; see CONFIGS)
+    sub_fn = sub_loss if n_sub == 1 else jax.checkpoint(sub_loss)
+
+    def loss_fn(table, origin, verts, scene, bvh, materials, rays_, noise,
+                scalars, buckets_):
+        total = jnp.float32(0.0)
+        for s in range(n_sub):
+            sl = slice(s * p_sub, (s + 1) * p_sub)
+            total = total + sub_fn(
+                table, origin[sl], verts, rays_.direction[sl],
+                rays_.gps_time[sl], s * p_sub * rpp, scene, bvh,
+                materials, noise, scalars, buckets_[s])
+        return total
 
     # BENCH_GRADS bisects the gradient set (diagnostics; default full):
     #   table | table+origin | full
@@ -457,27 +505,35 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
-        "grads": "brdf_table+sensor_origin+scene_vertices",
     }
+    line["grads"] = {"table": "brdf_table",
+                     "table+origin": "brdf_table+sensor_origin",
+                     "full": "brdf_table+sensor_origin+scene_vertices"
+                     }[grad_sel]
     print(json.dumps(line))
-    if config != "tls":
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_EXTRA.json")
-        extra = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                extra = json.load(fh)
-        extra[config] = dict(line, pulses=rays.num_pulses,
-                             rays_per_pulse=rays.rays_per_pulse,
-                             max_returns=cfg.max_returns,
-                             faces=scene.num_faces,
-                             device=jax.devices()[0].device_kind)
-        with open(path, "w") as fh:
-            json.dump(extra, fh, indent=1)
+    if config != "tls" or grad_sel != "full":
+        key = config if grad_sel == "full" else f"{config}_grads_{grad_sel}"
+        _append_extra(key, line, pulses=rays.num_pulses,
+                      rays_per_pulse=rays.rays_per_pulse,
+                      max_returns=cfg.max_returns,
+                      faces=scene.num_faces,
+                      device=jax.devices()[0].device_kind)
 
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--dump-workload":
         _dump_workload(sys.argv[2])
         sys.exit(0)
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:   # noqa: BLE001 — emit a parseable failure
+        # A Mosaic/XLA kernel-compile regression must surface as a clear
+        # message in the bench record, not a watchdog zero (VERDICT r02).
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "rays_per_s_fwd_bwd_per_chip",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "note": f"bench failed: {type(exc).__name__}: {exc}"}),
+            flush=True)
+        sys.exit(1)

@@ -204,7 +204,9 @@ def measure(n_dev: int, devices) -> dict:
     fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False)
     cloud = fwd(scene, bvh, materials, rays, noise, scalars)
     target = jnp.where(cloud.mask, cloud.intensity * 1.2, 0.0)
-    step = shard_mod.sharded_train_step(mesh, cfg, scene_has_water=False)
+    # full north-star gradients: the psum'd bytes then match `analysis`
+    step = shard_mod.sharded_train_step(mesh, cfg, scene_has_water=False,
+                                        grad_params="full")
 
     loss, *_ = step(scene, bvh, materials, rays, noise, scalars, target)
     loss.block_until_ready()                      # compile + warm up

@@ -105,7 +105,25 @@ def cmd_config_template(_args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat CLI runs skip the 20-40s
+    (sometimes minutes, through the TPU tunnel) pipeline compiles — the
+    interactive-launch parity fix for the reference's millisecond re-run
+    after startup (`Window.cpp:21-77`)."""
+    import jax
+    cache = os.environ.get("JAX_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):
+        pass   # read-only home / older jax: run uncached
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="lidar_brdf_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

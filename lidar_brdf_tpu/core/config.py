@@ -130,6 +130,12 @@ class SensorConfig:
     pulse_radius: float = 0.001
     rays_per_pulse: int = 10
     reflectance_weight: float = 1.0
+    # REFERENCE-DEAD parity field: the reference uploads this per-return
+    # threshold SSBO (`LiDARSimulation.cpp:403-409`) but NO shader reads
+    # it — return loss is governed by the shininess loss model instead
+    # (`getLossThreshold`, reduceCollisions-comp.glsl:91-96).  Kept so
+    # configs round-trip; intentionally unread by the pipeline, like the
+    # reference.
     return_thresholds: tuple[float, ...] = field(default_factory=_default_return_thresholds)
     sensor_diameter: float = 0.215           # meters
     system_attenuation: float = 1.0

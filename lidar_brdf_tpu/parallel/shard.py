@@ -169,15 +169,24 @@ def _with_float_leaves(materials: MaterialTable, leaves) -> MaterialTable:
 
 def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
                        scene_has_water=False, traverse_fn=None,
-                       learning_rate=1e-3):
-    """Jitted step: forward + backward with material-parameter gradients.
+                       learning_rate=1e-3, grad_params: str = "materials"):
+    """Jitted step: forward + backward over the mesh.
 
     Loss: L2 between simulated intensity and a target intensity image (the
-    differentiable-rendering use case from BASELINE.json — fit BRDF tables /
-    material params to observed returns).  Gradients of the replicated
-    material parameters are `psum`-reduced across the ray shards (inserted
-    by the shard_map transpose; on hardware this is the ICI all-reduce that
-    overlaps the backward traversal).
+    differentiable-rendering use case from BASELINE.json — fit parameters
+    to observed returns).  Gradients of REPLICATED parameters are
+    `psum`-reduced across the ray shards (inserted by the shard_map
+    transpose; on hardware this is the ICI all-reduce that overlaps the
+    backward traversal).
+
+    ``grad_params``:
+      * "materials" — material leaves only (BRDF table, n(λ), roughness,
+        f0); returns (loss, updated_materials, material_grads).
+      * "full" — the BASELINE north-star set: material leaves + scene
+        vertices (replicated → vertex grads cross chips in the same psum)
+        + ray origins (sharded with the rays → pose grads stay on-chip);
+        returns (loss, updated_materials,
+        {"materials": ..., "vertices": ..., "origin": ...}).
     """
 
     @jax.jit
@@ -185,15 +194,20 @@ def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
              buckets=None):
         bleaves, btree = jax.tree.flatten(buckets)
 
-        def loss_leaves(leaves):
+        def loss_fn(leaves, verts, origin):
             mats = _with_float_leaves(materials, leaves)
+            scn = scene if verts is None else \
+                scene.__class__(**{**scene.__dict__, "vertices": verts})
+            rays_ = rays if origin is None else \
+                rays.__class__(origin=origin, direction=rays.direction,
+                               gps_time=rays.gps_time)
 
-            def local(scene, bvh, mats, rays, noise_buf, scalars, target,
+            def local(scn, bvh, mats, rays, noise_buf, scalars, target,
                       *bl):
                 data = None
                 if bl:
                     data = _local_traverse_data(jax.tree.unflatten(btree, bl))
-                cloud = simulate_chunk(scene, bvh, mats, rays, noise_buf,
+                cloud = simulate_chunk(scn, bvh, mats, rays, noise_buf,
                                        scalars, cfg,
                                        scene_has_water=scene_has_water,
                                        traverse_fn=traverse_fn,
@@ -208,12 +222,22 @@ def sharded_train_step(mesh: Mesh, cfg: SensorConfig, *,
                 + (P(RAY_AXIS),) * len(bleaves),
                 out_specs=P(),
                 check_vma=False,
-            )(scene, bvh, mats, rays, noise_buf, scalars, target, *bleaves)
+            )(scn, bvh, mats, rays_, noise_buf, scalars, target, *bleaves)
 
         leaves = _float_leaves(materials)
-        loss, grads = jax.value_and_grad(loss_leaves)(leaves)
-        new_leaves = tuple(p - learning_rate * g
-                           for p, g in zip(leaves, grads))
+        if grad_params == "full":
+            loss, (g_mat, g_verts, g_origin) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(leaves, scene.vertices,
+                                            rays.origin)
+            grads = {"materials": g_mat, "vertices": g_verts,
+                     "origin": g_origin}
+            new_leaves = tuple(p - learning_rate * g
+                               for p, g in zip(leaves, g_mat))
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda lv: loss_fn(lv, None, None))(leaves)
+            new_leaves = tuple(p - learning_rate * g
+                               for p, g in zip(leaves, grads))
         return loss, _with_float_leaves(materials, new_leaves), grads
 
     return step

@@ -42,7 +42,10 @@ def table_angles(L, N):
     """
     cos_ln = jnp.abs(jnp.sum(L * N, axis=-1))
     y = jnp.clip(cos_ln, 0.0, 1.0) * (PI / 2.0) * (180.0 / PI)
-    x = (jnp.arctan2(L[..., 2], L[..., 0]) + PI / 2.0) * 2.0 * (180.0 / PI)
+    # safe_arctan2: vertical rays (L.x = L.z = 0) have no azimuth; the
+    # true derivative there is NaN and would poison the masked backward
+    from ..utils.safemath import safe_arctan2
+    x = (safe_arctan2(L[..., 2], L[..., 0]) + PI / 2.0) * 2.0 * (180.0 / PI)
     x = jnp.mod(x, 360.0)
     return x, y
 
@@ -358,8 +361,9 @@ def ward_anisotropic(kd, ks, N, I, V, rough, f0, cos_a, tangent):
 def oren_nayar(kd, ks, N, I, V, rough, f0, cos_a, tangent):
     dot_ln = jnp.clip(_dot(-I, N), 0.0, 1.0)
     dot_nv = jnp.clip(_dot(N, V), 0.0, 1.0)
-    beta = jnp.arccos(jnp.clip(dot_ln, -1.0, 1.0))
-    alpha = jnp.arccos(jnp.clip(dot_nv, -1.0, 1.0))
+    from ..utils.safemath import safe_arccos
+    beta = safe_arccos(dot_ln)
+    alpha = safe_arccos(dot_nv)
     r2 = rough * rough
     A = 1.0 - 0.5 * (r2 / (r2 + 0.33))
     B = 0.45 * (r2 / (r2 + 0.09))

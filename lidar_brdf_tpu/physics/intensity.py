@@ -50,10 +50,12 @@ def bathymetric_intensity(distance, ray_power, brdf_factor, *,
     altitude = start_point[..., 1] - water_height
     depth = water_height - hit_point[..., 1]
     tdir = prev_hit_point - start_point
-    tdir = tdir / jnp.maximum(jnp.linalg.norm(tdir, axis=-1, keepdims=True), 1e-12)
+    from ..utils.safemath import safe_unit
+    tdir = safe_unit(tdir)
     transmit_cos = -tdir[..., 1]                       # dot(tdir, (0,-1,0))
     denom = WATER_REFRACTIVE * altitude + depth
-    water_angle = jnp.arccos(jnp.clip(-direction[..., 1], -1.0, 1.0))
+    from ..utils.safemath import safe_arccos
+    water_angle = safe_arccos(-direction[..., 1])
     cos_wa = jnp.cos(water_angle)
     hyp = depth / jnp.where(jnp.abs(cos_wa) < 1e-6, 1e-6, cos_wa)
     sinus = jnp.sin(water_angle) * hyp

@@ -33,6 +33,7 @@ from ..core.types import (BVH, MaterialTable, RayBundle, SURFACE_TERRAIN,
 from ..geom.intersect import (BIG, face_normal_from_verts,
                               intersect_bvh, refine_hit, refine_hit_verts)
 from ..utils import noise as noise_mod
+from ..utils.safemath import safe_arccos, safe_norm, safe_sqrt, safe_unit
 from .types import ReturnRecord, OutlierRecord
 
 _pytree = jax.tree_util.register_dataclass
@@ -99,19 +100,18 @@ class SimScalars:
         )
 
 
-def _norm(v, axis=-1):
-    return jnp.linalg.norm(v, axis=axis)
-
-
-def _unit(v):
-    return v / jnp.maximum(_norm(v)[..., None], 1e-12)
+# gradient-safe variants (see utils/safemath.py): dense masked slots hit
+# zero vectors and |cos|=1 boundaries, whose infinite true derivatives
+# would poison the whole gradient through 0*NaN
+_norm = safe_norm
+_unit = safe_unit
 
 
 def _refract(I, N, eta):
     """GLSL refract(I, N, eta) (used by `computeRayDirection`, :64-73)."""
     cosi = jnp.sum(N * I, axis=-1, keepdims=True)
     k = 1.0 - eta[..., None] ** 2 * (1.0 - cosi ** 2)
-    refr = eta[..., None] * I - (eta[..., None] * cosi + jnp.sqrt(jnp.maximum(k, 0.0))) * N
+    refr = eta[..., None] * I - (eta[..., None] * cosi + safe_sqrt(k)) * N
     return jnp.where(k < 0.0, jnp.zeros_like(refr), refr)
 
 
@@ -268,26 +268,47 @@ def simulate_returns(
         mat_aug = jnp.stack([materials.refractive_index,
                              materials.roughness], axis=1)
 
+    N = P * R
+    start2 = rays.origin.reshape(N, 3)
+    ray_gidx2 = ray_gidx.reshape(N)
+    # helpers: per-pulse -> per-ray broadcast in FLAT form
+    rep = lambda x: jnp.broadcast_to(x[:, None], (P, R)).reshape(N)
+    repv = lambda x: jnp.broadcast_to(
+        x[:, None, :], (P, R, x.shape[-1])).reshape(N, x.shape[-1])
+
     def step(state, hits):
-        (origin, direction, prev_dir, active, return_count, prev_water,
+        # Per-ray state lives FLAT (N = P*R rows): lax.scan stacks the
+        # carry per level as backward residuals, and XLA lays (L, P, R, k)
+        # stacks out with the R=rays axis on the 128-lane dim — a measured
+        # 12.8x HBM expansion at 10 rays/pulse (a 1M-pulse 2-return
+        # backward needed 39 GB).  Flat (L, N, k) stacks keep the long
+        # axis minor and store dense.  (P, R)-shaped masks are formed
+        # transiently for the per-pulse reductions only.
+        (origin2, dir2, prev2, active2, return_count, prev_water,
          prev_point, level) = state
 
-        valid_hit = (hits.face >= 0) & active                       # (P, R)
+        t2 = hits.t.reshape(N)
+        face2 = hits.face.reshape(N)
+        valid2 = (face2 >= 0) & active2                             # (N,)
+        valid_hit = valid2.reshape(P, R)
         dist = jnp.where(valid_hit, hits.t, BIG)
         w = jnp.argmin(dist, axis=1)                                # (P,)
-        take = lambda a: jnp.take_along_axis(
-            a, w.reshape(P, *([1] * (a.ndim - 1))), axis=1)[:, 0]
-        # Winner-ray fields: pack per-ray tensors and gather the (P,) winner
-        # rows once per dtype instead of once per field.
-        fpack = take(jnp.concatenate(
-            [origin, direction, start_point, prev_dir], axis=-1))   # (P, 12)
+        # Winner-ray fields: pack per-ray tensors and gather the (P,)
+        # winner rows once per dtype instead of once per field.
+        flat_w = jnp.arange(P, dtype=jnp.int32) * R + w.astype(jnp.int32)
+
+        def take_rows(*parts):
+            cat = jnp.concatenate(
+                [p.reshape(N, -1) for p in parts], axis=-1)
+            return cat[flat_w]
+
+        fpack = take_rows(origin2, dir2, start2, prev2)              # (P, 12)
         origin_w = fpack[:, 0:3]
         dir_w = fpack[:, 3:6]
         start_w = fpack[:, 6:9]
         prev_dir_w_raw = fpack[:, 9:12]
-        ipack = take(jnp.stack(
-            [hits.face, valid_hit.astype(jnp.int32),
-             ray_gidx.astype(jnp.int32)], axis=-1))                 # (P, 3)
+        ipack = take_rows(face2, valid2.astype(jnp.int32),
+                          ray_gidx2.astype(jnp.int32))              # (P, 3)
         face_w = ipack[:, 0]
         has_winner = ipack[:, 1].astype(bool)
         idx_w = ipack[:, 2].astype(jnp.uint32)
@@ -315,17 +336,24 @@ def simulate_returns(
             crow_w = comp_aug[comp_w]                               # (P, 2)
             mat_w = crow_w[:, 0]
             surface_w = crow_w[:, 1]
+        # No-winner pulses refine against face 0 with t=BIG (=f32 max):
+        # point_w would be ±inf, and although every consumer is masked,
+        # inf/inf inside norms turns the MASKED backward cotangents into
+        # 0*NaN=NaN and poisons vertex/origin gradients.  Pin those slots
+        # to the ray origin (finite, grad-neutral, value-irrelevant).
+        point_w = jnp.where(has_winner[:, None], point_w, origin_w)
         is_water = (surface_w & SURFACE_WATER) != 0
         is_terrain = (surface_w & SURFACE_TERRAIN) != 0
 
         # Per-ray hit points (non-diff; drive discrete merge decisions only).
-        point_i = origin + direction * jnp.where(valid_hit, hits.t, 0.0)[..., None]
+        point_i2 = origin2 + dir2 * jnp.where(valid2, t2, 0.0)[:, None]
 
         # -------- footprint merge (`reduceCollisions` :201-223) ----------
         footprint = _norm(point_w - start_w) * scalars.pulse_radius
         cos_inc = jnp.abs(jnp.sum(normal_w * (-_unit(dir_w)), axis=-1))
         allowed = 2.0 * footprint * (2.0 - cos_inc)
-        d_to_winner = _norm(point_i - point_w[:, None, :])
+        d_to_winner = _norm(point_i2.reshape(P, R, 3)
+                            - point_w[:, None, :])
         if scene.face_neighbors is not None:
             # precomputed contiguity (geom/adjacency.py): ONE winner-row
             # gather + dense id compares, instead of a (P, R)-row vertex
@@ -351,8 +379,8 @@ def simulate_returns(
         # -------- winner record fields (:225-233) -------------------------
         corrected = _norm(point_w - start_w)
         nd = _unit(-dir_w)
-        angle = (jnp.clip(jnp.arccos(jnp.clip(
-            jnp.sum(nd * sensor_normal * nd, axis=-1), -1.0, 1.0)),
+        angle = (jnp.clip(safe_arccos(
+            jnp.sum(nd * sensor_normal * nd, axis=-1)),
             -PI / 2, PI / 2) / (PI / 2) * 90.0)
         gps = rays.gps_time + corrected * 2.0 / LIGHT_SPEED
 
@@ -476,25 +504,24 @@ def simulate_returns(
         revive = valid_hit & is_water[:, None] & bool(bathymetric)
         new_active_valid = (~exceed[:, None]) & (continue_ray | revive)
         active_next = jnp.where(valid_col[:, None], new_active_valid,
-                                continue_ray)
+                                continue_ray).reshape(N)
         eta = mrow[:, 0]
         # Orient the interface normal against the incident ray (robust to
         # mesh winding; GLSL refract assumes dot(N, I) < 0 and the
         # reference trusts its models' winding).
-        n_in = normal_w[:, None, :]
-        flip = jnp.sign(jnp.sum(n_in * direction, axis=-1, keepdims=True))
-        n_or = -jnp.where(flip == 0, 1.0, flip) * n_in
-        refr = _unit(_refract(direction, n_or,
-                              jnp.broadcast_to(eta[:, None], (P, R))))
-        water_upd = (valid_col & is_water)[:, None, None]      # (P, 1, 1)
-        origin_next = jnp.where(water_upd, point_i + direction * 1e-4, origin)
-        dir_next = jnp.where(water_upd, refr, direction)
+        n2 = repv(normal_w)                                       # (N, 3)
+        flip = jnp.sign(jnp.sum(n2 * dir2, axis=-1, keepdims=True))
+        n_or = -jnp.where(flip == 0, 1.0, flip) * n2
+        refr2 = _unit(_refract(dir2, n_or, rep(eta)))
+        water_upd2 = rep(valid_col & is_water)[:, None]           # (N, 1)
+        origin_next = jnp.where(water_upd2, point_i2 + dir2 * 1e-4, origin2)
+        dir_next = jnp.where(water_upd2, refr2, dir2)
         # previousDirection := direction only for CONTINUING rays (the
         # reference writes it inside `computeRayDirection`, which only the
         # continue branch calls — `reduceCollisions-comp.glsl:156-161`).
         prev_dir_next = jnp.where(
-            (valid_col[:, None] & new_active_valid)[..., None],
-            direction, prev_dir)
+            (valid_col[:, None] & new_active_valid).reshape(N)[:, None],
+            dir2, prev2)
         count_next = return_count + valid_col.astype(jnp.int32)
         prev_water_next = jnp.where(valid_col, is_water, prev_water)
         # the reference stores the ERROR-SHIFTED point in the collision
@@ -509,10 +536,10 @@ def simulate_returns(
         return new_state, (record, outlier)
 
     init = (
-        rays.origin,
-        rays.direction,
-        rays.direction,                               # previousDirection
-        jnp.ones((P, R), bool),                       # continueRay
+        rays.origin.reshape(N, 3),
+        rays.direction.reshape(N, 3),
+        rays.direction.reshape(N, 3),                 # previousDirection
+        jnp.ones(N, bool),                            # continueRay
         jnp.zeros(P, jnp.int32),                      # returnNumber
         jnp.zeros(P, bool),                           # prev collision water?
         jnp.zeros((P, 3), jnp.float32),               # prev collision point
@@ -535,7 +562,8 @@ def simulate_returns(
         state1, (rec0, out0) = step(init, hits0)
 
         def bounce(st, _):
-            return step(st, bounce_traverse_fn(st[0], st[1]))
+            return step(st, bounce_traverse_fn(st[0].reshape(P, R, 3),
+                                               st[1].reshape(P, R, 3)))
 
         final_state, (rec_r, out_r) = jax.lax.scan(
             bounce, state1, jnp.arange(max_returns - 1))
@@ -544,16 +572,20 @@ def simulate_returns(
         outliers = jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, out_r)
     num_returns = final_state[4]
-    final_origin = final_state[0]
+    final_origin = final_state[0].reshape(P, R, 3)
     return records, outliers, num_returns, final_origin
 
 
 def final_winner_origins(records: ReturnRecord, final_origin) -> jax.Array:
     """Gather each recorded return's winner-ray origin from the final ray
     state — `computeColor` reads `rayData[collision.rayIndex].origin` *after*
-    the bounce loop finished (`computeColor-comp.glsl:77`)."""
+    the bounce loop finished (`computeColor-comp.glsl:77`).
+
+    Flat (P*R, 3) row gather — broadcasting final_origin to (L, P, R, 3)
+    for take_along_axis would materialize a tensor XLA lane-pads 12.8x in
+    the backward pass (R is the minor dim)."""
     L, P = records.winner_ray.shape
-    w = records.winner_ray.reshape(L, P, 1, 1)
-    return jnp.take_along_axis(
-        jnp.broadcast_to(final_origin[None], (L,) + final_origin.shape),
-        w, axis=2)[:, :, 0, :]
+    R = final_origin.shape[1]
+    w = jnp.maximum(records.winner_ray, 0)                    # (L, P)
+    idx = jnp.arange(P, dtype=jnp.int32)[None, :] * R + w     # (L, P)
+    return final_origin.reshape(P * R, 3)[idx.reshape(-1)].reshape(L, P, 3)

@@ -125,11 +125,8 @@ def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
         traverse_data=traverse_data, scene_has_water=scene_has_water)
     # winner origins after the bounce loop (reference shading reads final
     # rayData, `computeColor-comp.glsl:88,96`)
-    L, P = records.mask.shape
-    w = records.winner_ray.reshape(L, P, 1, 1)
-    fo = jnp.take_along_axis(
-        jnp.broadcast_to(final_origin[None], (L,) + final_origin.shape),
-        jnp.maximum(w, 0), axis=2)[:, :, 0, :]
+    from ..physics.returns import final_winner_origins
+    fo = final_winner_origins(records, final_origin)
     intensity = shade_records(scene, materials, records, fo, scalars, cfg,
                               rays.rays_per_pulse)
     return records_to_pointcloud(scene, records, outliers, num_returns,
@@ -296,7 +293,11 @@ class Simulator:
         if self._culled_active and self.reorder is not False:
             rays = bsp_order(rays, self.block_pulses)
         P = rays.num_pulses
-        chunk = min(self.cfg.chunk_pulses, P)
+        # quantize the static chunk shape to a power of two: different
+        # scans/scenes then reuse the same compiled executable (and repeat
+        # CLI runs hit the persistent compilation cache); the tail-pad
+        # machinery absorbs the rounding
+        chunk = min(self.cfg.chunk_pulses, 1 << max(P - 1, 1).bit_length())
         ckpt = None
         done = 0
         clouds = []
@@ -415,12 +416,8 @@ class Simulator:
                         self.scene, self.bvh, self.materials, rs,
                         self.noise_buf, self.scalars, hits)
                     m["sync"] = records.distance
-                L = records.mask.shape[0]
-                w = records.winner_ray.reshape(L, P, 1, 1)
-                fo = jnp.take_along_axis(
-                    jnp.broadcast_to(final_origin[None],
-                                     (L,) + final_origin.shape),
-                    jnp.maximum(w, 0), axis=2)[:, :, 0, :]
+                from ..physics.returns import final_winner_origins
+                fo = final_winner_origins(records, final_origin)
                 with metrics.stage("INTENSITY") as m:
                     intensity = stage_shade(self.scene, self.materials,
                                             records, fo, self.scalars)

@@ -71,6 +71,45 @@ def test_sharded_train_step_reduces_loss(setup):
     assert np.abs(table_grad).sum() > 0
 
 
+def test_sharded_train_step_full_gradients(setup):
+    """grad_params='full': material + vertex + origin gradients over the
+    mesh.  Vertex grads are replicated parameters (psum'd in the shard_map
+    transpose) and must equal the single-device gradient; origin grads are
+    sharded with the rays."""
+    scene, bvh, cfg, rays, materials, scalars, noise = setup
+    mesh = shard_mod.ray_mesh()
+    fwd = shard_mod.sharded_forward(mesh, cfg, scene_has_water=False)
+    cloud = fwd(scene, bvh, materials, rays, noise, scalars)
+    target = jnp.where(cloud.mask, cloud.intensity * 1.5, 0.0)
+    step = shard_mod.sharded_train_step(mesh, cfg, scene_has_water=False,
+                                        grad_params="full")
+    loss, _, grads = step(scene, bvh, materials, rays, noise, scalars,
+                          target)
+    g_verts = np.asarray(grads["vertices"])
+    g_origin = np.asarray(grads["origin"])
+    assert g_verts.shape == np.asarray(scene.vertices).shape
+    assert g_origin.shape == np.asarray(rays.origin).shape
+    assert np.isfinite(g_verts).all() and np.abs(g_verts).sum() > 0
+    assert np.isfinite(g_origin).all() and np.abs(g_origin).sum() > 0
+
+    # single-device oracle for the replicated vertex gradient
+    def loss_single(verts, origin):
+        scn = scene.__class__(**{**scene.__dict__, "vertices": verts})
+        rys = rays.__class__(origin=origin, direction=rays.direction,
+                             gps_time=rays.gps_time)
+        cloud = simulate_chunk(scn, bvh, materials, rys, noise, scalars,
+                               cfg, scene_has_water=False)
+        pred = jnp.where(cloud.mask, cloud.intensity, 0.0)
+        return jnp.sum((pred - target) ** 2)
+
+    gv_ref, go_ref = jax.grad(loss_single, argnums=(0, 1))(
+        scene.vertices, rays.origin)
+    np.testing.assert_allclose(g_verts, np.asarray(gv_ref),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(g_origin, np.asarray(go_ref),
+                               rtol=1e-4, atol=1e-8)
+
+
 def test_sharded_culled_matches_single_device(setup):
     from lidar_brdf_tpu.geom.beamcull import CulledTraverser
     scene, bvh, cfg, rays, materials, scalars, noise = setup
