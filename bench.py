@@ -45,22 +45,21 @@ PER_CHIP_TARGET = 100e6 / 8.0
 # terrain hold ~3k candidates: 0.31 vs 17.5 M rays/s).
 CONFIGS = {
     # "subchunks": the in-jit training step processes pulses in that many
-    # checkpointed sub-chunks.  Full-gradient backward passes materialize
-    # (P, rays) temporaries whose minor dim (rays=10) pads 12.8x to the
-    # 128-lane tile; at >=1M pulses a single-chunk backward needs ~21 GB
-    # HBM (measured OOM on v5e).  jax.checkpoint scopes the backward peak
-    # to one sub-chunk — the same trade Simulator.run makes on the host.
+    # checkpointed sub-chunks (memory fallback: jax.checkpoint scopes the
+    # backward residual peak to one sub-chunk at ~1.2x step cost).  Since
+    # the flat (P*R) scan carry (physics/returns.py) removed the 12.8x
+    # lane-padding of the stacked residuals, the 1M-pulse 2-return configs
+    # compile single-chunk on a 16 GB v5e; subchunks stays available via
+    # BENCH_SUBCHUNKS for smaller-HBM parts.
     "tls": dict(pulses=131072, rays_pulse=10, max_returns=1, scene="city",
                 num_tris=40_000, traverser="tile"),
     "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
-                        scene="city", num_tris=40_000, traverser="tile",
-                        subchunks=4),
+                        scene="city", num_tris=40_000, traverser="tile"),
     "als": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
                 scene="terrain", num_tris=5_000_000, traverser="pulse",
-                subchunks=4),
+                subchunks=2),
     "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
-                       scene="city", num_tris=40_000, traverser="tile",
-                       subchunks=4),
+                       scene="city", num_tris=40_000, traverser="tile"),
     # fresh forward scan, END-TO-END: Simulator.run wall-clock including
     # the host beam cull (TRAVERSE_PREP, double-buffered with device
     # compute), chunking, and point-cloud readback — the reference's

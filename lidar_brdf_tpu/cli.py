@@ -105,6 +105,20 @@ def cmd_config_template(_args) -> int:
     return 0
 
 
+def cmd_render_ortho(args) -> int:
+    """Top-down orthographic backdrop for drawing TLS/ALS paths against
+    (the reference's aerial canvas view, `LiDARScene.cpp:118-163`)."""
+    from . import viz
+    scene = _load_scene(args.scene)
+    info = viz.render_ortho(scene, args.out, mode=args.mode, size=args.size)
+    print(f"wrote {info['path']} ({info['canvas_size'][0]}x"
+          f"{info['canvas_size'][1]}); canvas px -> world: "
+          f"world = px / canvas_size * {info['world_size']} + "
+          f"{info['world_min']} (feed px paths to tls_path_from_canvas / "
+          f"--als-path with canvas_size={info['canvas_size']})")
+    return 0
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: repeat CLI runs skip the 20-40s
     (sometimes minutes, through the TPU tunnel) pipeline compiles — the
@@ -149,6 +163,16 @@ def main(argv=None) -> int:
 
     pc = sub.add_parser("config-template", help="print default config JSON")
     pc.set_defaults(fn=cmd_config_template)
+
+    po = sub.add_parser("render-ortho",
+                        help="top-down PNG backdrop for path drawing")
+    po.add_argument("--scene", required=True,
+                    help=".obj file, scene directory, or :demo:")
+    po.add_argument("--out", default="ortho.png")
+    po.add_argument("--mode", default="kad",
+                    choices=("kad", "semantic", "asprs", "height"))
+    po.add_argument("--size", type=int, default=512)
+    po.set_defaults(fn=cmd_render_ortho)
 
     args = p.parse_args(argv)
     try:
