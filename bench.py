@@ -56,8 +56,7 @@ CONFIGS = {
     "multireturn": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
                         scene="city", num_tris=40_000, traverser="tile"),
     "als": dict(pulses=1_048_576, rays_pulse=10, max_returns=2,
-                scene="terrain", num_tris=5_000_000, traverser="pulse",
-                subchunks=2),
+                scene="terrain", num_tris=5_000_000, traverser="pulse"),
     "alphaprime": dict(pulses=3600 * 364, rays_pulse=10, max_returns=2,
                        scene="city", num_tris=40_000, traverser="tile"),
     # fresh forward scan, END-TO-END: Simulator.run wall-clock including

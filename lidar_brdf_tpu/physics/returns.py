@@ -163,6 +163,34 @@ def build_face_pack(scene: TriangleScene, materials: MaterialTable,
     ], axis=1)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _winner_rows(spec, cat, flat_w):
+    """cat[flat_w] with a transpose that KNOWS the indices are unique.
+
+    Exactly one winner row per pulse, so the backward scatter-add has no
+    collisions; the stock gather transpose assumes colliding indices and
+    lowers to the slow serializing scatter.  ``spec`` = (shape, dtype) of
+    ``cat`` (static)."""
+    return cat[flat_w]
+
+
+def _winner_rows_fwd(spec, cat, flat_w):
+    return cat[flat_w], flat_w
+
+
+def _winner_rows_bwd(spec, flat_w, g):
+    shape, dtype = spec
+    d_cat = jnp.zeros(shape, dtype).at[flat_w].add(
+        g.astype(dtype), unique_indices=True, mode="promise_in_bounds")
+    return d_cat, None
+
+
+_winner_rows.defvjp(_winner_rows_fwd, _winner_rows_bwd)
+
+
 def _faces_contiguous(va, vb, comp_a, comp_b):
     """Same component and sharing >= 1 vertex (`areTriangleContiguous`).
 
@@ -300,7 +328,7 @@ def simulate_returns(
         def take_rows(*parts):
             cat = jnp.concatenate(
                 [p.reshape(N, -1) for p in parts], axis=-1)
-            return cat[flat_w]
+            return _winner_rows((cat.shape, cat.dtype), cat, flat_w)
 
         fpack = take_rows(origin2, dir2, start2, prev2)              # (P, 12)
         origin_w = fpack[:, 0:3]
