@@ -297,7 +297,7 @@ def _append_extra(config, line, **fields):
         json.dump(extra, fh, indent=1)
 
 
-def forward_main(config, spec, metric):
+def forward_main(extra_key, spec, metric):
     """Fresh forward scan, END-TO-END (VERDICT r02 item 2): Simulator.run
     wall-clock including per-chunk host beam cull (double-buffered with
     device compute), dispatch, and host readback."""
@@ -307,7 +307,7 @@ def forward_main(config, spec, metric):
     from lidar_brdf_tpu.runtime.simulate import Simulator
 
     (scene, bvh, cfg, rays, materials, scalars, noise, _, _,
-     total_rays) = load_workload(config, spec)
+     total_rays) = load_workload("forward", spec)
     chunk = int(os.environ.get("BENCH_CHUNK", 131072))
     cfg = cfg.with_(chunk_pulses=min(chunk, rays.num_pulses))
     sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
@@ -336,7 +336,7 @@ def forward_main(config, spec, metric):
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
     }
     print(json.dumps(line))
-    _append_extra(config, line, pulses=rays.num_pulses,
+    _append_extra(extra_key, line, pulses=rays.num_pulses,
                   rays_per_pulse=rays.rays_per_pulse,
                   max_returns=cfg.max_returns, faces=scene.num_faces,
                   wall_s=round(dt, 2),
@@ -426,10 +426,12 @@ def main():
         return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
 
     # checkpointed sub-chunks: backward recomputes each sub-chunk's forward
-    # instead of storing (P, rays)-shaped residuals for the WHOLE scan (the
-    # lane-padded layouts of those temporaries OOM a 1M-pulse single-chunk
-    # backward at ~21 GB; see CONFIGS)
-    sub_fn = sub_loss if n_sub == 1 else jax.checkpoint(sub_loss)
+    # instead of storing residuals for the WHOLE scan (memory fallback;
+    # BENCH_NO_CKPT=1 keeps sub-chunking without the recompute)
+    if n_sub == 1 or os.environ.get("BENCH_NO_CKPT"):
+        sub_fn = sub_loss
+    else:
+        sub_fn = jax.checkpoint(sub_loss)
 
     def loss_fn(table, origin, verts, scene, bvh, materials, rays_, noise,
                 scalars, buckets_):
