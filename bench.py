@@ -344,7 +344,12 @@ def forward_main(extra_key, spec, metric):
                   device_total_s=round(device_s, 2),
                   points=n_points,
                   note=("end-to-end Simulator.run incl. host cull "
-                        "(double-buffered) + readback"),
+                        "(double-buffered) + readback; on THIS rig the "
+                        "bound is the 2-vCPU host cull and the tunnel "
+                        "transfer of per-chunk candidate buckets, not the "
+                        "TPU (device_total_s includes tunnel transfers); "
+                        "a real TPU host VM has 100+ cores for the "
+                        "OpenMP culler and local DMA"),
                   device=jax.devices()[0].device_kind)
 
 
