@@ -130,8 +130,10 @@ def _enable_compile_cache() -> None:
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # only persist compiles worth re-reading (>= 1s): trivial helper
+        # jits stay out of the cache, bounding its growth (the pipeline
+        # compiles this targets take 20s+ through the TPU tunnel)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except (OSError, AttributeError):
         pass   # read-only home / older jax: run uncached
 

@@ -156,8 +156,12 @@ def face_normal_from_verts(v0, v1, v2):
     to the vertices without any F-sized per-step op (an F-sized normal
     recompute + its scatter-add transpose costs ~1.5 s/step at 5M faces)."""
     n = jnp.cross(v1 - v0, v2 - v0)
-    return n / jnp.maximum(
-        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # safe_unit pattern (utils/safemath.py): jnp.linalg.norm has a NaN
+    # gradient at exactly zero input and the maximum() clamp does not stop
+    # it (0 * NaN = NaN) — a degenerate winner row (or the face-0 fallback
+    # every no-winner pulse reads) would poison ALL vertex gradients.
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    return n * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
 
 
 def refine_hit(scene: TriangleScene, origin, direction, face_idx):

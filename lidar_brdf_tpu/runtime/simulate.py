@@ -225,9 +225,18 @@ class Simulator:
                 # grouped lanes never straddle a chunk boundary (zero-
                 # direction pad rays inside a tail group are ignored by the
                 # cull and miss in the kernel).
+                # Restrict the group to a power of two <= chunk_pulses:
+                # run() quantizes the actual chunk to min(chunk_pulses,
+                # pow2ceil(P)) and raises it to >= group, so power-of-two
+                # groups always divide the chunk actually dispatched (a
+                # non-power-of-two group that merely divides chunk_pulses
+                # can fail to divide the quantized chunk and blow up the
+                # grouped traverser's reshape at runtime).
                 grp = self.pulse_group if self.pulse_group is not None else 1
+                grp = 1 << max(int(grp).bit_length() - 1, 0)
                 while grp > 1 and self.cfg.chunk_pulses % grp:
                     grp //= 2
+                self.pulse_group = grp
                 self._culler = PulseLadderTraverser(
                     self.scene, rays_per_pulse=rpp, group=grp,
                     interpret=not on_tpu)
@@ -298,6 +307,9 @@ class Simulator:
         # CLI runs hit the persistent compilation cache); the tail-pad
         # machinery absorbs the rounding
         chunk = min(self.cfg.chunk_pulses, 1 << max(P - 1, 1).bit_length())
+        # grouped pulse ladders need the chunk to be a multiple of the
+        # group (both are powers of two after __post_init__'s restriction)
+        chunk = max(chunk, getattr(self, "pulse_group", None) or 1)
         ckpt = None
         done = 0
         clouds = []

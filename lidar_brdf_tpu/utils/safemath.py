@@ -39,13 +39,17 @@ def safe_arccos(x, eps: float = 1e-6):
 
 
 def safe_arctan2(y, x, eps: float = 1e-12):
-    """arctan2 whose gradient is zeroed on the degenerate axis y=x=0
-    (vertical rays have no azimuth; the reference hits the same
-    singularity).  Value: atan2(0, 1) = 0 there — identical to the f32
-    atan2(0, 0) convention."""
+    """arctan2 with the EXACT forward value of atan2(y, x) everywhere, but
+    the gradient redirected to a regularized evaluation near the degenerate
+    axis y=x=0 (vertical rays have no azimuth; the reference hits the same
+    singularity).  Same stop_gradient residual trick as `safe_arccos`: the
+    true value rides along as a constant, so tiny-but-nonzero (y, x) keep
+    their real azimuth (previously they snapped to 0, shifting the BRDF
+    table x-coordinate for near-vertical L)."""
     r2 = y * y + x * x
     ok = r2 > eps
-    return jnp.arctan2(jnp.where(ok, y, 0.0), jnp.where(ok, x, 1.0))
+    ag = jnp.arctan2(jnp.where(ok, y, 0.0), jnp.where(ok, x, 1.0))
+    return ag + jax.lax.stop_gradient(jnp.arctan2(y, x) - ag)
 
 
 def safe_sqrt(x, eps: float = 1e-24):
