@@ -31,6 +31,7 @@ class PipelineMetrics:
 
     samples: dict = field(default_factory=lambda: defaultdict(list))
     discard_first: bool = False
+    footer: str = ""          # free-form summary line (points/s, chunks)
 
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
@@ -73,6 +74,8 @@ class PipelineMetrics:
             lines.append(f"{name:14s} {self.mean(name)*1e3:10.3f} ms "
                          f"+- {self.std(name)*1e3:.3f} ms "
                          f"(n={len(self._kept(name))})")
+        if self.footer:
+            lines.append(self.footer)
         return "\n".join(lines)
 
     def export(self, path: str) -> None:

@@ -124,9 +124,15 @@ def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
         base_ray_index=base_ray_index, traverse_fn=traverse_fn,
         traverse_data=traverse_data, scene_has_water=scene_has_water)
     # winner origins after the bounce loop (reference shading reads final
-    # rayData, `computeColor-comp.glsl:88,96`)
-    from ..physics.returns import final_winner_origins
-    fo = final_winner_origins(records, final_origin)
+    # rayData, `computeColor-comp.glsl:88,96`).  Water-free non-bathymetric
+    # scenes never move a ray origin, so the post-loop winner origin IS the
+    # recorded start point — skip the (L, P) gather and its scatter
+    # transpose entirely on that path.
+    if scene_has_water or cfg.bathymetric:
+        from ..physics.returns import final_winner_origins
+        fo = final_winner_origins(records, final_origin)
+    else:
+        fo = records.start
     intensity = shade_records(scene, materials, records, fo, scalars, cfg,
                               rays.rays_per_pulse)
     return records_to_pointcloud(scene, records, outliers, num_returns,
@@ -168,6 +174,8 @@ class Simulator:
     use_culled: bool | None = None    # None = auto (water-free scenes)
     reorder: bool | None = None       # None = auto (when culled is active)
     pulse_group: int | None = None    # None = auto; pulses per shared ladder
+    cache_ladders: bool = True        # reuse culled ladders across runs
+    cache_ladders_max: int = 64       # cached chunks (FIFO evict; HBM bound)
 
     def __post_init__(self):
         from ..api import attach_face_neighbors
@@ -326,8 +334,8 @@ class Simulator:
         from concurrent.futures import ThreadPoolExecutor
 
         def prep(lo, hi):
-            sl = self._pad_slice(rays, lo, hi, chunk)
-            return sl, self._prep_slice(sl, metrics)
+            return self._prep_slice(self._pad_slice(rays, lo, hi, chunk),
+                                    metrics)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(prep, spans[0][1], spans[0][2])
@@ -356,7 +364,7 @@ class Simulator:
         return coherent_order(rays)
 
     def benchmark(self, rays: RayBundle, num_execs: int = 5,
-                  discard_first: bool = True):
+                  discard_first: bool = True, steady_chunks: int = 2):
         """numExecs repetition mode with per-stage mean±std.
 
         The reference loops `_numExecs` executions with first-run discard
@@ -368,7 +376,13 @@ class Simulator:
         per-stage numbers are slightly pessimistic (fusion across stage
         boundaries is lost) but directly comparable to the reference's.
 
-        One chunk (the first ``cfg.chunk_pulses`` pulses) is measured.
+        Per-stage numbers measure one chunk (the first ``cfg.chunk_pulses``
+        pulses).  Additionally ``steady_chunks`` >= 2 chunks run through
+        ``run()`` per exec so TRAVERSE_PREP double-buffering and executable
+        reuse appear in the report: RUN_FIRST = first full pass (includes
+        compile), RUN_STEADY = subsequent passes, RUN_CHUNK_TOTAL /
+        RUN_CHUNK_PREP = per-chunk device/prep samples from the steady
+        passes.  The report footer adds points/s and chunk counts.
         Returns a populated PipelineMetrics.
         """
         from .metrics import PipelineMetrics
@@ -439,6 +453,41 @@ class Simulator:
                 m["sync"] = cloud.intensity
             with metrics.stage("READ"):
                 jax.tree.map(np.asarray, cloud)
+
+        # ---- steady-state passes over >= 2 chunks through run() ----------
+        n_chunks = 0
+        n_points = 0
+        if steady_chunks and steady_chunks > 1:
+            P_run = min(self.cfg.chunk_pulses * steady_chunks,
+                        rays.num_pulses)
+            rs = jax.tree.map(lambda a: a[:P_run], rays)
+            n_chunks = -(-P_run // self.cfg.chunk_pulses)
+            cache_prev = self.cache_ladders
+            self.cache_ladders = False        # measure real cull every pass
+            try:
+                for i in range(num_execs):
+                    chunk_m = PipelineMetrics()
+                    name = "RUN_FIRST" if i == 0 else "RUN_STEADY"
+                    with metrics.stage(name):
+                        cloud = self.run(rs, metrics=chunk_m)
+                    if i > 0:      # per-chunk samples from steady passes
+                        metrics.samples["RUN_CHUNK_TOTAL"].extend(
+                            chunk_m.samples.get("TOTAL", []))
+                        metrics.samples["RUN_CHUNK_PREP"].extend(
+                            chunk_m.samples.get("TRAVERSE_PREP", []))
+                n_points = int(np.asarray(cloud.mask).sum())
+            finally:
+                self.cache_ladders = cache_prev
+            steady = metrics.samples.get("RUN_STEADY", [])
+            if steady:
+                pulses_s = P_run / (sum(steady) / len(steady))
+                metrics.footer = (
+                    f"steady-state: {n_chunks} chunks x "
+                    f"{self.cfg.chunk_pulses} pulses, "
+                    f"{n_points} points, "
+                    f"{pulses_s * rays.rays_per_pulse / 1e6:.2f}M rays/s, "
+                    f"{n_points / (sum(steady) / len(steady)) / 1e6:.2f}M "
+                    f"points/s (RUN_FIRST includes compile)")
         return metrics
 
     def _pad_slice(self, rays: RayBundle, lo: int, hi: int,
@@ -465,22 +514,60 @@ class Simulator:
             )
         return sl
 
+    def _chunk_key(self, o_np: np.ndarray, d_np: np.ndarray) -> str:
+        """Content key of one padded chunk's rays (scene/BVH are bound to
+        this Simulator, so the key only needs the ray content).  blake2b
+        over the raw bytes runs ~1 GB/s — ~30 ms for a 131k-pulse chunk,
+        against seconds of cull it replaces on a hit."""
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(o_np, np.float32).tobytes())
+        h.update(np.ascontiguousarray(d_np, np.float32).tobytes())
+        h.update(str(self._t_max).encode())
+        return h.hexdigest()
+
     def _prep_slice(self, sl: RayBundle, metrics=None):
         """Host-side beam cull for one padded chunk (worker-thread safe:
         numpy + the native OpenMP culler release the GIL; the jnp.asarray
-        device puts in ``prepare`` are thread-safe)."""
+        device puts in ``prepare`` are thread-safe).
+
+        With ``cache_ladders`` (default), culled ladders/buckets are kept
+        DEVICE-RESIDENT keyed on the chunk's ray content: a repeated scan
+        (parameter sweeps, wavelength loops, interactive re-runs) skips the
+        cull, the candidate packing, and the bucket upload entirely.  The
+        reference re-traverses from scratch on every run
+        (`LiDARSimulation.cpp:316-341` has no cross-run reuse).
+        """
         if not self._culled_active:
-            return None
+            return sl, None
         o_np = np.asarray(sl.origin)
         d_np = np.asarray(sl.direction)
+        key = None
+        if self.cache_ladders:
+            if not hasattr(self, "_ladder_cache"):
+                self._ladder_cache = {}
+            key = self._chunk_key(o_np, d_np)
+            hit = self._ladder_cache.get(key)
+            if hit is not None:
+                return hit
         ctx = metrics.stage("TRAVERSE_PREP") if metrics is not None else None
         if ctx is not None:
             ctx.__enter__()
         try:
             if self._culler.beams_ok(o_np, d_np):
-                return self._culler.prepare(self.bvh, o_np, d_np,
+                data = self._culler.prepare(self.bvh, o_np, d_np,
                                             t_max=self._t_max)
-            return None   # wide beams (incoherent rays) — packet fallback
+            else:
+                data = None   # wide beams (incoherent rays) — packet fallback
+            if key is not None and data is not None:
+                # device-put the ray slice too: cached repeat scans skip
+                # the per-chunk ray upload (~30 MB through the tunnel)
+                sl = jax.device_put(sl)
+                while len(self._ladder_cache) >= max(self.cache_ladders_max,
+                                                     1):
+                    self._ladder_cache.pop(next(iter(self._ladder_cache)))
+                self._ladder_cache[key] = (sl, data)
+            return sl, data
         finally:
             if ctx is not None:
                 ctx.__exit__(None, None, None)

@@ -139,3 +139,55 @@ def test_benchmark_numexecs_per_stage(rng):
         assert len(metrics._kept(s)) == 2
     assert metrics.mean("TOTAL") >= metrics.mean("INTENSITY")
     assert "TOTAL" in report and "FIND_COLLISION" in report
+
+
+def test_ladder_cache_repeat_run_identical(rng):
+    """Second run of the same rays hits the device-resident ladder cache
+    and produces the identical point cloud (VERDICT r03 item 4c)."""
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=64)
+    # narrow FOV so the chunk beams pass the narrowness gate and the culled
+    # path (the one that caches) actually runs
+    cfg = cfg.with_(tls_fov_horizontal=40.0, tls_fov_vertical=30.0)
+    rays = build_rays(cfg, scene)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    cloud_a = sim.run(rays)
+    if getattr(sim, "_culled_active", False):
+        assert len(getattr(sim, "_ladder_cache", {})) > 0
+        # second run: every chunk served from cache (prepare not re-run)
+        calls = []
+        orig_prepare = sim._culler.prepare
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig_prepare(*a, **kw)
+
+        sim._culler.prepare = spy
+        cloud_b = sim.run(rays)
+        assert not calls, "cache miss on identical repeat run"
+    else:
+        cloud_b = sim.run(rays)
+    for name in type(cloud_a).__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(cloud_a, name)),
+            np.asarray(getattr(cloud_b, name)), err_msg=name)
+
+
+def test_ladder_cache_eviction(rng):
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=32)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg,
+                    cache_ladders_max=2)
+    sim.run(rays)   # 24*8=192 pulses -> 6 chunks, cache capped at 2
+    if getattr(sim, "_culled_active", False):
+        assert len(sim._ladder_cache) <= 2
+
+
+def test_benchmark_steady_state_report(rng):
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=48)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    metrics = sim.benchmark(rays, num_execs=3, steady_chunks=2)
+    rep = metrics.report()
+    assert "RUN_FIRST" in rep and "RUN_STEADY" in rep
+    assert "points/s" in rep
+    # first pass sampled separately from steady passes (compile isolation)
+    assert len(metrics.samples["RUN_FIRST"]) == 1
+    assert len(metrics.samples["RUN_STEADY"]) == 2
