@@ -119,6 +119,32 @@ def cmd_render_ortho(args) -> int:
     return 0
 
 
+def cmd_render_overlays(args) -> int:
+    """Debug overlay PNG: rays + BVH boxes + beam cone + max-range disc
+    over a simulated cloud (the reference viewer's overlay draws,
+    `LiDARScene.cpp:269-330` + Draw* classes)."""
+    from . import viz
+    from .api import build_rays, build_scene_bvh, simulate
+    from .core.config import SensorConfig, get_preset
+
+    if args.config:
+        with open(args.config) as fh:
+            cfg = SensorConfig.from_json(fh.read())
+    elif args.sensor:
+        cfg = get_preset(args.sensor)
+    else:
+        cfg = SensorConfig()
+    scene = _load_scene(args.scene)
+    bvh = build_scene_bvh(scene)
+    rays = build_rays(cfg, scene)
+    cloud = simulate(scene, cfg)
+    out = viz.render_overlays(scene, cloud, cfg, args.out, bvh=bvh,
+                              rays=rays, num_rays=args.num_rays,
+                              bvh_depth=args.bvh_depth)
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: repeat CLI runs skip the 20-40s
     (sometimes minutes, through the TPU tunnel) pipeline compiles — the
@@ -175,6 +201,18 @@ def main(argv=None) -> int:
                     choices=("kad", "semantic", "asprs", "height"))
     po.add_argument("--size", type=int, default=512)
     po.set_defaults(fn=cmd_render_ortho)
+
+    pv = sub.add_parser("render-overlays",
+                        help="debug PNG: rays, BVH boxes, beam cone, "
+                             "max-range disc over a simulated cloud")
+    pv.add_argument("--scene", required=True,
+                    help=".obj file, scene directory, or :demo:")
+    pv.add_argument("--sensor", help="hardware preset name")
+    pv.add_argument("--config", help="SensorConfig JSON file")
+    pv.add_argument("--out", default="overlays.png")
+    pv.add_argument("--num-rays", type=int, default=200, dest="num_rays")
+    pv.add_argument("--bvh-depth", type=int, default=4, dest="bvh_depth")
+    pv.set_defaults(fn=cmd_render_overlays)
 
     args = p.parse_args(argv)
     try:

@@ -782,9 +782,12 @@ def _returns_noretraverse(
     else:
         rows_w = faces_aug[safe_face.reshape(L * P)].reshape(L, P, 4)
         vidx = rows_w[..., 0:3]
-        v0 = scene.vertices[vidx[..., 0]]
-        v1 = scene.vertices[vidx[..., 1]]
-        v2 = scene.vertices[vidx[..., 2]]
+        # ONE gather of all three corners: its transpose is ONE scatter-add
+        # into (V, 3) instead of three (the 5M-face ALS scene pays this
+        # scatter every training step)
+        verts3 = scene.vertices[vidx]                           # (L, P, 3, 3)
+        v0, v1, v2 = (verts3[..., 0, :], verts3[..., 1, :],
+                      verts3[..., 2, :])
         uvs = scene.vertex_uv[vidx]                             # (L, P, 3, 2)
         uv0, uv1, uv2 = uvs[..., 0, :], uvs[..., 1, :], uvs[..., 2, :]
         vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)

@@ -78,6 +78,112 @@ def render_all_modes(cloud: PointCloud, prefix: str, **kw) -> list[str]:
             for mode in RENDER_MODES]
 
 
+def render_overlays(scene, cloud: PointCloud | None, cfg, path: str, *,
+                    bvh=None, rays=None, num_rays: int = 200,
+                    bvh_depth: int = 4, axes: tuple[int, int] = (0, 2),
+                    point_size: float = 0.5, dpi: int = 150) -> str:
+    """Scene-debug overlays: rays, BVH boxes, beam cone, max-range disc.
+
+    The scripted equivalent of the reference viewer's overlay draws
+    (`LiDARScene.cpp:269-330` + DrawRay3D/DrawAABB/beam-cone/max-range-disc
+    classes): a 2D projection with
+      * the point cloud (height-colored),
+      * a subsample of sensor rays as origin->hit (or origin->max_range
+        for misses) segments,
+      * the top ``bvh_depth`` levels of BVH node AABBs as rectangles,
+      * the sensor's max-range disc (circle around the TLS position /
+        first ALS position), and
+      * the beam FOV cone edges for TLS sensors.
+
+    ``rays`` is an optional RayBundle to draw; without it, ray segments
+    are reconstructed from the cloud's recorded start/direction-free
+    fields (position only, so rays draw sensor->point).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle, Rectangle
+
+    ax0, ax1 = axes
+    fig, ax = plt.subplots(figsize=(9, 9))
+
+    # point cloud backdrop
+    if cloud is not None:
+        compact = cloud.compact_host()
+        pos = np.asarray(compact.position)
+        if len(pos):
+            ax.scatter(pos[:, ax0], pos[:, ax1], s=point_size,
+                       c=pos[:, 1], cmap="viridis", linewidths=0, zorder=1)
+
+    # sensor position (TLS position or ALS start)
+    sensor = np.asarray(
+        cfg.tls_position if getattr(cfg, "is_terrestrial", True)
+        else cfg.als_position, np.float64)
+
+    # ray overlay (`DrawRay3D`)
+    if rays is not None:
+        o = np.asarray(rays.origin, np.float64).reshape(-1, 3)
+        d = np.asarray(rays.direction, np.float64).reshape(-1, 3)
+        step = max(len(o) // max(num_rays, 1), 1)
+        o, d = o[::step], d[::step]
+        ends = o + d * float(cfg.max_range)
+        if cloud is not None and len(pos):
+            pass  # endpoints at max range; hits already shown as points
+        for a_, b_ in zip(o, ends):
+            ax.plot([a_[ax0], b_[ax0]], [a_[ax1], b_[ax1]],
+                    color="orange", lw=0.3, alpha=0.5, zorder=2)
+    elif cloud is not None and len(pos):
+        step = max(len(pos) // max(num_rays, 1), 1)
+        for p in pos[::step]:
+            ax.plot([sensor[ax0], p[ax0]], [sensor[ax1], p[ax1]],
+                    color="orange", lw=0.3, alpha=0.5, zorder=2)
+
+    # BVH node boxes, top levels (`DrawAABB` of the cluster tree)
+    if bvh is not None:
+        node_min = np.asarray(bvh.node_min)
+        node_max = np.asarray(bvh.node_max)
+        node_face = np.asarray(bvh.node_face)
+        node_skip = np.asarray(bvh.node_skip)
+        frontier = [(0, 0)]
+        while frontier:
+            node, depth = frontier.pop()
+            lo, hi = node_min[node], node_max[node]
+            ax.add_patch(Rectangle(
+                (lo[ax0], lo[ax1]), hi[ax0] - lo[ax0], hi[ax1] - lo[ax1],
+                fill=False, edgecolor="red", lw=max(1.2 - 0.25 * depth, 0.2),
+                alpha=0.6, zorder=3))
+            if depth + 1 < bvh_depth and node_face[node] < 0:
+                left = node + 1
+                right = int(node_skip[left])
+                frontier.append((left, depth + 1))
+                if right < node_face.shape[0]:
+                    frontier.append((right, depth + 1))
+
+    # max-range disc (`LiDARScene` max-range overlay)
+    ax.add_patch(Circle((sensor[ax0], sensor[ax1]), float(cfg.max_range),
+                        fill=False, edgecolor="blue", ls="--", lw=1.0,
+                        alpha=0.8, zorder=4))
+    ax.plot([sensor[ax0]], [sensor[ax1]], marker="*", ms=12, color="blue",
+            zorder=5)
+
+    # TLS beam cone edges (horizontal FOV wedge in the XZ projection)
+    if getattr(cfg, "is_terrestrial", True) and axes == (0, 2):
+        mid = np.deg2rad(getattr(cfg, "tls_middle_angle_horizontal", 0.0))
+        half = np.deg2rad(getattr(cfg, "tls_fov_horizontal", 360.0)) / 2.0
+        if half < np.pi:        # full-circle FOV has no wedge edges
+            for aa in (mid - half, mid + half):
+                e = sensor + float(cfg.max_range) * np.array(
+                    [np.cos(aa), 0.0, np.sin(aa)])
+                ax.plot([sensor[ax0], e[ax0]], [sensor[ax1], e[ax1]],
+                        color="blue", lw=1.0, alpha=0.8, zorder=4)
+
+    ax.set_aspect("equal")
+    ax.set_title("overlays: rays / BVH boxes / beam cone / max-range disc")
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 # 20-entry categorical palette (tab20-like) for semantic/ASPRS face colors
 _PALETTE = np.array([
     [0.12, 0.47, 0.71], [0.68, 0.78, 0.91], [1.00, 0.50, 0.05],

@@ -57,3 +57,30 @@ def test_render_ortho_label_modes(tmp_path):
         img = read_png(out["path"])
         assert img.shape == (64, 64, 3)
         assert img.max() > 0
+
+
+def test_render_overlays(tmp_path, rng):
+    """Overlay PNG (rays / BVH boxes / beam cone / max-range disc) renders
+    and is non-trivially sized — the scripted stand-in for the reference
+    viewer's overlay draws (`LiDARScene.cpp:269-330`)."""
+    import os
+
+    from lidar_brdf_tpu import viz
+    from lidar_brdf_tpu.api import build_rays, build_scene_bvh, simulate
+    from lidar_brdf_tpu.core.config import SensorConfig, ShadingMode
+    from lidar_brdf_tpu.io import synthetic
+
+    scene = synthetic.terrain_with_boxes(rng, num_boxes=3)
+    cfg = SensorConfig(
+        tls_position=(0.0, 9.0, 0.0), tls_fov_horizontal=120.0,
+        tls_fov_vertical=60.0, tls_middle_angle_vertical=-40.0,
+        tls_resolution_horizontal=24, tls_resolution_vertical=8,
+        rays_per_pulse=1, max_range=60.0,
+        shading_mode=ShadingMode.LAMBERTIAN)
+    bvh = build_scene_bvh(scene)
+    rays = build_rays(cfg, scene)
+    cloud = simulate(scene, cfg)
+    out = str(tmp_path / "overlays.png")
+    viz.render_overlays(scene, cloud, cfg, out, bvh=bvh, rays=rays,
+                        num_rays=50, bvh_depth=3)
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
