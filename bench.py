@@ -294,9 +294,21 @@ def load_workload(config, spec):
 
     import jax
 
-    if os.environ.get("BENCH_INLINE_BUILD") or \
+    # BENCH_STATE_CACHE=<path>: persist the pickled host state (scene +
+    # rays + raw cull buckets) across bench invocations — the 5M-triangle
+    # ALS cull costs minutes on a 2-vCPU host and is deterministic for a
+    # given (config, pulses, traverser) tuple.  Cache key is embedded in
+    # the filename by the caller; a stale cache is the caller's problem.
+    cache_path = os.environ.get("BENCH_STATE_CACHE")
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as fh:
+            state = pickle.load(fh)
+    elif os.environ.get("BENCH_INLINE_BUILD") or \
             jax.default_backend() == "cpu":
         state = _build_host_state(config, spec)
+        if cache_path:
+            with open(cache_path, "wb") as fh:
+                pickle.dump(state, fh, protocol=4)
     else:
         fd, path = tempfile.mkstemp(suffix=".pkl")
         os.close(fd)
@@ -307,8 +319,12 @@ def load_workload(config, spec):
                 check=True, env=dict(os.environ, BENCH_CONFIG=config))
             with open(path, "rb") as fh:
                 state = pickle.load(fh)
+            if cache_path:
+                os.replace(path, cache_path)
+                path = None
         finally:
-            os.unlink(path)
+            if path is not None:
+                os.unlink(path)
 
     scene, bvh, cfg, rays = (state["scene"], state["bvh"], state["cfg"],
                              state["rays"])

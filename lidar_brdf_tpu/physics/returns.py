@@ -191,6 +191,45 @@ def _winner_rows_bwd(spec, flat_w, g):
 _winner_rows.defvjp(_winner_rows_fwd, _winner_rows_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _winner_rows_pr(R, cat, w):
+    """``cat`` (P*R, C) gathered at flat rows ``p*R + w[..., p]``.
+
+    ``w`` holds the per-pulse winner ray index (in [0, R)); any leading axes
+    (e.g. the return-level axis) are carried through: result shape
+    ``w.shape + (C,)``.
+
+    Backward expands the cotangent DENSELY over the R-sized ray axis with a
+    compare-select (one (P, R, C) masked sum, ~1 ms at the 1M-pulse ALS
+    shape) instead of the stock gather transpose, whose scatter-add is
+    SERIALIZED on TPU at ~64 ns/row — 91 ms per 1M-row scatter, 182 ms/step
+    for the 2-level cat6 pack (measured v5e, scripts/step_profile.py)."""
+    P = w.shape[-1]
+    flat = (jnp.arange(P, dtype=jnp.int32) * R
+            + w.astype(jnp.int32)).reshape(-1)
+    return cat[flat].reshape(w.shape + (cat.shape[-1],))
+
+
+def _winner_rows_pr_fwd(R, cat, w):
+    return _winner_rows_pr(R, cat, w), w
+
+
+def _winner_rows_pr_bwd(R, w, g):
+    P = w.shape[-1]
+    C = g.shape[-1]
+    wl = w.reshape(-1, P)                                    # (L, P)
+    gl = g.reshape(-1, P, C)                                 # (L, P, C)
+    r = jnp.arange(R, dtype=wl.dtype)
+    mask = wl[:, :, None] == r[None, None, :]                # (L, P, R)
+    d_cat = jnp.sum(
+        jnp.where(mask[..., None], gl[:, :, None, :], 0.0),
+        axis=0)                                              # (P, R, C)
+    return d_cat.reshape(P * R, C).astype(g.dtype), None
+
+
+_winner_rows_pr.defvjp(_winner_rows_pr_fwd, _winner_rows_pr_bwd)
+
+
 def _faces_contiguous(va, vb, comp_a, comp_b):
     """Same component and sharing >= 1 vertex (`areTriangleContiguous`).
 
@@ -338,6 +377,10 @@ def simulate_returns(
         def take_rows(*parts):
             cat = jnp.concatenate(
                 [p.reshape(N, -1) for p in parts], axis=-1)
+            if jnp.issubdtype(cat.dtype, jnp.floating):
+                # dense-expand backward (see _winner_rows_pr); int packs
+                # carry no gradients so the plain unique-scatter VJP is fine
+                return _winner_rows_pr(R, cat, w.astype(jnp.int32))
             return _winner_rows((cat.shape, cat.dtype), cat, flat_w)
 
         fpack = take_rows(origin2, dir2, start2, prev2)              # (P, 12)
@@ -763,9 +806,8 @@ def _returns_noretraverse(
     has_winner_L = st("has_winner")
     valid_col_L = st("valid_col")
 
-    spec = (cat6.shape, cat6.dtype)
-    pack = jnp.stack([_winner_rows(spec, cat6, lv["flat_w"])
-                      for lv in levels])                        # (L, P, 6)
+    w_L = st("w")                                               # (L, P)
+    pack = _winner_rows_pr(R, cat6, w_L)                        # (L, P, 6)
     origin_w = pack[..., 0:3]          # == start point == prev-level origin
     dir_w = pack[..., 3:6]             # == previousDirection (never mutated)
 
