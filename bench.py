@@ -246,6 +246,7 @@ def _build_host_state(config, spec):
         sub -= 1
     p_sub = rays.num_pulses // sub
     raws = []
+    vg_auxes = []
     for s in range(sub):
         o_s = o[s * p_sub:(s + 1) * p_sub]
         d_s = d[s * p_sub:(s + 1) * p_sub]
@@ -258,14 +259,42 @@ def _build_host_state(config, spec):
             raws.append(tr.build_buckets(bvh, o_s, d_s, t_max=t_max))
         else:
             from lidar_brdf_tpu.kernels.pulse_pallas import \
-                build_pulse_ladders
-            raws.append(build_pulse_ladders(
-                bvh, o_s, d_s, rays_per_pulse * group, t_max=t_max))
+                build_pulse_ladders, permute_pulse_ladders
+            raw = build_pulse_ladders(
+                bvh, o_s, d_s, rays_per_pulse * group, t_max=t_max)
+            # bucket-contiguous pulse order: ladder results concatenate
+            # instead of paying the serialized TPU scatter (see
+            # `permute_pulse_ladders`); pulses move WITHIN the sub-chunk
+            grp_pulses = p_sub * rays_per_pulse // (rays_per_pulse * group)
+            perm, _ = permute_pulse_ladders(raw, grp_pulses)
+            gperm = perm if group == 1 else (
+                (perm[:, None] * group
+                 + np.arange(group)[None, :]).reshape(-1))
+            sl = slice(s * p_sub, (s + 1) * p_sub)
+            rays = jax.tree.map(
+                lambda a: np.concatenate(
+                    [a[:s * p_sub], np.asarray(a[sl])[gperm],
+                     a[(s + 1) * p_sub:]]), rays)
+            raws.append(raw)
+            # scatter-free vertex-grad aux (geom/vertgrad.py): per-block
+            # union vertex sets from the bucket-contiguous ladders.  The
+            # aux blocks cover 128 LADDER entities; with group>1 those are
+            # pulse groups and would misalign with the record pass's
+            # 128-pulse blocks, so the aux is group=1-only (the measured
+            # default — grouped ladders were slower anyway, simulate.py).
+            if group == 1:
+                from lidar_brdf_tpu.geom.vertgrad import \
+                    build_vertex_grad_aux
+                vg_auxes.append(build_vertex_grad_aux(
+                    np.asarray(scene.faces), raw, grp_pulses,
+                    int(scene.vertices.shape[0])))
     return dict(scene=to_np(scene), bvh=to_np(bvh), cfg=cfg,
                 rays=to_np(rays), materials=to_np(materials),
                 scalars=to_np(scalars), noise=np.asarray(noise),
                 raw_buckets=raws, t_max=t_max, kind=kind, group=group,
                 subchunks=sub,
+                vertex_grad_aux=(to_np(tuple(vg_auxes))
+                                 if len(vg_auxes) == sub else None),
                 block_pulses=block_pulses, rays_per_pulse=rays_per_pulse)
 
 
@@ -332,7 +361,7 @@ def load_workload(config, spec):
     total_rays = rays.num_pulses * rays.rays_per_pulse
     if state["kind"] == "none":
         return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
-                state["noise"], None, None, total_rays)
+                state["noise"], None, None, total_rays, None)
     sub = state.get("subchunks", 1)
     p_sub = rays.num_pulses // sub
     if state["kind"] == "tile":
@@ -350,19 +379,26 @@ def load_workload(config, spec):
                 d[s * p_sub:(s + 1) * p_sub], state["t_max"])
             for s, raw in enumerate(state["raw_buckets"]))
     else:
-        import jax.numpy as jnp
-
         from lidar_brdf_tpu.kernels.pulse_pallas import PulseLadderTraverser
-        traverser = PulseLadderTraverser(
-            scene, rays_per_pulse=state["rays_per_pulse"],
-            group=state.get("group", 1), interpret=interpret)
-        traverser.t_max = state["t_max"]
-        buckets = tuple(
-            tuple(tuple(jnp.asarray(a) for a in traverser._pack_bucket(p, c))
-                  for p, c in raw)
-            for raw in state["raw_buckets"])
+
+        # rays in `state` are already bucket-contiguous (permuted by
+        # `_build_host_state`); one traverser per sub-chunk carries that
+        # sub's static bucket layout for the scatter-free call path
+        group = state.get("group", 1)
+        travs, buckets = [], []
+        for raw in state["raw_buckets"]:
+            tr = PulseLadderTraverser(
+                scene, rays_per_pulse=state["rays_per_pulse"],
+                group=group, interpret=interpret)
+            tr.t_max = state["t_max"]
+            _, data = tr.pack_permuted(raw, p_sub // group)
+            travs.append(tr)
+            buckets.append(data)
+        traverser = travs if len(travs) > 1 else travs[0]
+        buckets = tuple(buckets)
     return (scene, bvh, cfg, rays, state["materials"], state["scalars"],
-            state["noise"], traverser, buckets, total_rays)
+            state["noise"], traverser, buckets, total_rays,
+            state.get("vertex_grad_aux"))
 
 
 def _append_extra(config, line, **fields):
@@ -387,7 +423,7 @@ def forward_main(extra_key, spec, metric):
     from lidar_brdf_tpu.runtime.simulate import Simulator
 
     (scene, bvh, cfg, rays, materials, scalars, noise, _, _,
-     total_rays) = load_workload("forward", spec)
+     total_rays, _) = load_workload("forward", spec)
     chunk = int(os.environ.get("BENCH_CHUNK", 131072))
     cfg = cfg.with_(chunk_pulses=min(chunk, rays.num_pulses))
     sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
@@ -525,7 +561,7 @@ def main():
 
     t_start = time.perf_counter()
     (scene, bvh, cfg, rays, materials, scalars, noise, traverser, buckets,
-     total_rays) = load_workload(config, spec)
+     total_rays, vg_aux) = load_workload(config, spec)
     print(f"# [{config}] workload built in {time.perf_counter()-t_start:.1f}s "
           f"({scene.num_faces} faces, {rays.num_pulses} pulses x "
           f"{rays.rays_per_pulse} rays, {cfg.max_returns} returns)",
@@ -536,42 +572,49 @@ def main():
     rpp = rays.rays_per_pulse
     ray_cls = rays.__class__
 
-    def sub_loss(table, origin_s, verts, dir_s, gps_s, base_idx, scene,
-                 bvh, materials, noise, scalars, buckets_s):
-        mats = materials.__class__(**{**materials.__dict__,
-                                      "brdf_table": table})
-        # Rebind the differentiated vertices; the pipeline recomputes the
-        # winner facet normal from them per hit (`face_normal_from_verts`),
-        # so geometry gradients reach shading (N in the radar equation) as
-        # well as the differentiable hit re-evaluation (`refine_hit_verts`)
-        # with only P-sized per-step work.  The hit topology (BVH,
-        # candidate ladders) stays fixed — the standard differentiable-
-        # ray-tracing treatment.
-        scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
-        rays_s = ray_cls(origin=origin_s, direction=dir_s, gps_time=gps_s)
-        cloud = simulate_chunk(scene, bvh, mats, rays_s, noise, scalars,
-                               cfg, base_ray_index=base_idx,
-                               scene_has_water=False, traverse_fn=traverser,
-                               traverse_data=buckets_s)
-        return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+    travs = traverser if isinstance(traverser, list) else [traverser] * n_sub
+
+    def make_sub_loss(trav):
+        def sub_loss(table, origin_s, verts, dir_s, gps_s, base_idx, scene,
+                     bvh, materials, noise, scalars, buckets_s, vg_aux_s):
+            mats = materials.__class__(**{**materials.__dict__,
+                                          "brdf_table": table})
+            # Rebind the differentiated vertices; the pipeline recomputes
+            # the winner facet normal from them per hit
+            # (`face_normal_from_verts`), so geometry gradients reach
+            # shading (N in the radar equation) as well as the
+            # differentiable hit re-evaluation (`refine_hit_verts`) with
+            # only P-sized per-step work.  The hit topology (BVH,
+            # candidate ladders) stays fixed — the standard differentiable-
+            # ray-tracing treatment.
+            scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
+            rays_s = ray_cls(origin=origin_s, direction=dir_s,
+                             gps_time=gps_s)
+            cloud = simulate_chunk(scene, bvh, mats, rays_s, noise, scalars,
+                                   cfg, base_ray_index=base_idx,
+                                   scene_has_water=False, traverse_fn=trav,
+                                   traverse_data=buckets_s,
+                                   vertex_grad_aux=vg_aux_s)
+            return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+        return sub_loss
 
     # checkpointed sub-chunks: backward recomputes each sub-chunk's forward
     # instead of storing residuals for the WHOLE scan (memory fallback;
     # BENCH_NO_CKPT=1 keeps sub-chunking without the recompute)
-    if n_sub == 1 or os.environ.get("BENCH_NO_CKPT"):
-        sub_fn = sub_loss
-    else:
-        sub_fn = jax.checkpoint(sub_loss)
+    ckpt = n_sub > 1 and not os.environ.get("BENCH_NO_CKPT")
+    sub_fns = [jax.checkpoint(make_sub_loss(t)) if ckpt
+               else make_sub_loss(t) for t in travs]
 
     def loss_fn(table, origin, verts, scene, bvh, materials, rays_, noise,
-                scalars, buckets_):
+                scalars, buckets_, vg_aux_):
         total = jnp.float32(0.0)
         for s in range(n_sub):
             sl = slice(s * p_sub, (s + 1) * p_sub)
-            total = total + sub_fn(
+            total = total + sub_fns[s](
                 table, origin[sl], verts, rays_.direction[sl],
                 rays_.gps_time[sl], s * p_sub * rpp, scene, bvh,
-                materials, noise, scalars, buckets_[s])
+                materials, noise, scalars, buckets_[s],
+                None if vg_aux_ is None else vg_aux_[s])
         return total
 
     # BENCH_GRADS bisects the gradient set (diagnostics; default full):
@@ -586,7 +629,7 @@ def main():
     # metric — the reference's timing harness also excludes uploads,
     # `PipelineMetrics` brackets kernels only, LiDARSimulation.cpp:479-611)
     args = jax.device_put((materials.brdf_table, scene, bvh, materials,
-                           rays, noise, scalars, buckets))
+                           rays, noise, scalars, buckets, vg_aux))
 
     # The timing loop lives INSIDE one jit: a fori_loop whose carry chains
     # every gradient back into its parameter.  One dispatch, one host

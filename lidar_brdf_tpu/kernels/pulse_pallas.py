@@ -177,6 +177,39 @@ def build_pulse_ladders(bvh: BVH, origins: np.ndarray, directions: np.ndarray,
     return tuple(buckets)
 
 
+def permute_pulse_ladders(buckets, num_pulses: int):
+    """Bucket-contiguous pulse permutation for scatter-free traversal.
+
+    ``build_pulse_ladders`` buckets pulses by padded candidate-count K, so
+    a bucket's ``pidx`` rows are arbitrary pulse ids and the traverser must
+    SCATTER its results back to pulse order — and TPU scatter is serialized
+    at ~64 ns/row (144 ms/step for the two 1M-row t/f set-scatters on the
+    ALS config, scripts/step_profile.py).  Reordering the pulses ON THE
+    HOST so each bucket owns a contiguous range turns both the result
+    scatter and the ray-component gather into slices/concats.
+
+    Returns ``(perm, layout)``: ``perm`` (num_pulses,) int64 — new pulse i
+    is old pulse ``perm[i]``, zero-candidate pulses at the tail — and
+    ``layout`` a tuple of ``(start, B, B_pad)`` per bucket (B real pulses
+    at [start, start+B) in the new order; blocks padded to B_pad lanes).
+    Callers permute the ray bundle with ``perm`` and drop the buckets'
+    ``pidx`` arrays.
+    """
+    import numpy as np
+    perm_parts, layout, start = [], [], 0
+    for pidx, _ in buckets:
+        B = int((pidx < num_pulses).sum())      # real rows come first
+        perm_parts.append(pidx[:B].astype(np.int64))
+        layout.append((start, B, int(pidx.shape[0])))
+        start += B
+    covered = (np.concatenate(perm_parts) if perm_parts
+               else np.zeros(0, np.int64))
+    miss = np.ones(num_pulses, bool)
+    miss[covered] = False
+    perm = np.concatenate([covered, np.nonzero(miss)[0].astype(np.int64)])
+    return perm, tuple(layout)
+
+
 class PulseLadderTraverser:
     """Beam-culled traversal with per-pulse ladders, pre-packed for TPU.
 
@@ -212,6 +245,11 @@ class PulseLadderTraverser:
             interpret = jax.default_backend() == "cpu"
         self.interpret = bool(interpret)
         self.t_max = None
+        # bucket-contiguous layout (see `permute_pulse_ladders`): when set,
+        # `__call__` expects rays in the permuted pulse order and
+        # traverse_data WITHOUT pidx arrays — results come back via
+        # slice+concat instead of the serialized TPU scatter
+        self.layout = None
 
     @property
     def kernel_rays(self) -> int:
@@ -259,6 +297,62 @@ class PulseLadderTraverser:
             bvh, o, d, self.kernel_rays, t_max=t_max)
         return tuple(tuple(jnp.asarray(a) for a in self._pack_bucket(p, c))
                      for p, c in buckets)
+
+    def pack_permuted(self, buckets, num_pulses: int):
+        """Pack raw ``build_pulse_ladders`` buckets for the scatter-free
+        bucket-contiguous mode.  Sets ``self.layout`` and returns
+        ``(perm, traverse_data)``; the caller must reorder its pulses by
+        ``perm`` before calling the traverser."""
+        perm, layout = permute_pulse_ladders(buckets, num_pulses)
+        self.layout = layout
+        data = tuple(
+            tuple(jnp.asarray(a) for a in self._pack_bucket(p, c)[1:])
+            for p, c in buckets)
+        return perm, data
+
+    def _call_permuted(self, origin, direction, traverse_data) -> Hit:
+        R = self.kernel_rays
+        shape = origin.shape[:-1]
+        o = jax.lax.stop_gradient(origin.reshape(-1, R, 3))
+        d = jax.lax.stop_gradient(direction.reshape(-1, R, 3))
+        P = o.shape[0]
+        comp = jnp.concatenate(
+            [o, d, jnp.zeros((P, R, 2), o.dtype)], axis=-1)   # (P, R, 8)
+        t_parts, f_parts = [], []
+        covered = 0
+        for (start, B, B_pad), (rows_blk, ids_blk) in zip(self.layout,
+                                                          traverse_data):
+            comp_b = jax.lax.slice_in_dim(comp, start, start + B)
+            if B_pad > B:
+                comp_b = jnp.pad(comp_b,
+                                 ((0, B_pad - B), (0, 0), (0, 0)))
+            NB, KB = rows_blk.shape[0], rows_blk.shape[1]
+            rays_blk = comp_b.reshape(NB, LANES, R, 8) \
+                             .transpose(0, 2, 3, 1)           # (NB, R, 8, 128)
+            t_p = None
+            f_p = None
+            for s in range(0, KB, MAX_KB):                    # fat ladders
+                t_b, f_b = _run(rays_blk, rows_blk[:, s:s + MAX_KB],
+                                ids_blk[:, s:s + MAX_KB],
+                                t_max=self.t_max, interpret=self.interpret)
+                t_c = t_b.transpose(0, 2, 1).reshape(B_pad, -1)[:, :R]
+                f_c = f_b.transpose(0, 2, 1).reshape(B_pad, -1)[:, :R]
+                if t_p is None:
+                    t_p, f_p = t_c, f_c
+                else:
+                    better = t_c < t_p
+                    t_p = jnp.where(better, t_c, t_p)
+                    f_p = jnp.where(better, f_c, f_p)
+            miss = f_p < 0
+            t_parts.append(jnp.where(miss, BIG, t_p)[:B])
+            f_parts.append(f_p[:B])
+            covered += B
+        if covered < P:     # zero-candidate pulses live at the tail
+            t_parts.append(jnp.full((P - covered, R), BIG, jnp.float32))
+            f_parts.append(jnp.full((P - covered, R), -1, jnp.int32))
+        t = jnp.concatenate(t_parts).reshape(shape)
+        f = jnp.concatenate(f_parts).reshape(shape)
+        return Hit(t=t, face=f)
 
     def prepare_sharded(self, bvh: BVH, origin, direction, n_shards: int,
                         t_max: float | None = None):
@@ -317,6 +411,8 @@ class PulseLadderTraverser:
         return tuple(out)
 
     def __call__(self, origin, direction, traverse_data) -> Hit:
+        if self.layout is not None:
+            return self._call_permuted(origin, direction, traverse_data)
         R = self.kernel_rays
         shape = origin.shape[:-1]
         o = jax.lax.stop_gradient(origin.reshape(-1, R, 3))

@@ -230,6 +230,54 @@ def _winner_rows_pr_bwd(R, w, g):
 _winner_rows_pr.defvjp(_winner_rows_pr_fwd, _winner_rows_pr_bwd)
 
 
+@jax.custom_vjp
+def _winner_verts_union(verts, vidx, aux):
+    """``verts[vidx]`` with a scatter-free backward (geom/vertgrad.py).
+
+    ``vidx`` (L, P, 3) winner-corner vertex ids; ``aux`` a `VertexGradAux`
+    whose per-128-pulse-block union lists are guaranteed (by the beam-cull
+    candidate construction) to contain every id a block's winners can take.
+    Ids NOT in their block's union must carry a zero cotangent (true for
+    the masked no-winner face-0 fallback rows) — their contribution is
+    dropped.  Backward: dense one-hot accumulate onto the static union
+    slots, then a host-precomputed sort permutation + cumsum + boundary
+    difference lands the dense (V, 3) gradient with zero TPU scatters
+    (the stock gather transpose serializes at ~64 ns/row: 380 ms/step at
+    the ALS BASELINE shape; this path measures ~10x cheaper)."""
+    return verts[vidx]
+
+
+def _winner_verts_union_fwd(verts, vidx, aux):
+    return verts[vidx], (vidx, aux, verts.shape[0])
+
+
+def _winner_verts_union_bwd(res, g):
+    vidx, aux, V = res
+    L, P, _ = vidx.shape
+    BP = aux.block_pulses
+    NB = P // BP
+    E = L * BP * 3                                 # winner-corner entries
+    wc = jnp.transpose(vidx.reshape(L, NB, BP * 3),
+                       (1, 0, 2)).reshape(NB, E)   # (NB, E)
+    gb = jnp.transpose(g.reshape(L, NB, BP * 3, 3),
+                       (1, 0, 2, 3)).reshape(NB, E, 3)
+    # 1) dense one-hot accumulate: broadcast compare fused into the reduce
+    # (keep it out of dot_general — a materialized one-hot would be ~25 GB)
+    mask = aux.uvert[:, :, None] == wc[:, None, :]           # (NB, U, E)
+    d_u = jnp.sum(jnp.where(mask[..., None], gb[:, None, :, :], 0.0),
+                  axis=2)                                    # (NB, U, 3)
+    # 2) static segment-sum: sort by vertex id (host-precomputed perm),
+    # exclusive cumsum, boundary difference
+    rows = d_u.reshape(-1, 3)[aux.perm]                      # (NB*U, 3)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 3), rows.dtype), jnp.cumsum(rows, axis=0)])
+    d_verts = csum[aux.bounds[1:]] - csum[aux.bounds[:-1]]   # (V, 3)
+    return d_verts.astype(g.dtype), None, None
+
+
+_winner_verts_union.defvjp(_winner_verts_union_fwd, _winner_verts_union_bwd)
+
+
 def _faces_contiguous(va, vb, comp_a, comp_b):
     """Same component and sharing >= 1 vertex (`areTriangleContiguous`).
 
@@ -254,6 +302,7 @@ def simulate_returns(
     traverse_data=None,
     scene_has_water: bool = True,
     face_pack: jax.Array | bool | None = None,
+    vertex_grad_aux=None,
 ) -> tuple[ReturnRecord, OutlierRecord, jax.Array, jax.Array]:
     """Run the per-return extraction loop for one chunk of pulses.
 
@@ -351,7 +400,8 @@ def simulate_returns(
         # vectorized over (levels x pulses).  See _returns_noretraverse.
         return _returns_noretraverse(
             scene, materials, rays, noise_buf, scalars, cfg, hits0,
-            face_pack, faces_aug, base_ray_index, sensor_normal)
+            face_pack, faces_aug, base_ray_index, sensor_normal,
+            vertex_grad_aux=vertex_grad_aux)
 
     def step(state, hits):
         # Per-ray state lives FLAT (N = P*R rows): lax.scan stacks the
@@ -660,7 +710,8 @@ def simulate_returns(
 def _returns_noretraverse(
         scene: TriangleScene, materials: MaterialTable, rays: RayBundle,
         noise_buf: jax.Array, scalars: SimScalars, cfg: SensorConfig,
-        hits0, face_pack, faces_aug, base_ray_index, sensor_normal):
+        hits0, face_pack, faces_aug, base_ray_index, sensor_normal,
+        vertex_grad_aux=None):
     """Return extraction for water-free, non-bathymetric scenes.
 
     Key structural fact: continuing rays never change origin or direction
@@ -824,10 +875,16 @@ def _returns_noretraverse(
     else:
         rows_w = faces_aug[safe_face.reshape(L * P)].reshape(L, P, 4)
         vidx = rows_w[..., 0:3]
-        # ONE gather of all three corners: its transpose is ONE scatter-add
-        # into (V, 3) instead of three (the 5M-face ALS scene pays this
-        # scatter every training step)
-        verts3 = scene.vertices[vidx]                           # (L, P, 3, 3)
+        # ONE gather of all three corners.  With beam-cull aux available,
+        # the backward goes through the scatter-free static-union path
+        # (`_winner_verts_union`); otherwise the stock gather transpose is
+        # ONE (V, 3) scatter-add instead of three.
+        if (vertex_grad_aux is not None
+                and P % vertex_grad_aux.block_pulses == 0):
+            verts3 = _winner_verts_union(scene.vertices, vidx,
+                                         vertex_grad_aux)   # (L, P, 3, 3)
+        else:
+            verts3 = scene.vertices[vidx]                       # (L, P, 3, 3)
         v0, v1, v2 = (verts3[..., 0, :], verts3[..., 1, :],
                       verts3[..., 2, :])
         uvs = scene.vertex_uv[vidx]                             # (L, P, 3, 2)

@@ -117,12 +117,14 @@ def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
                    rays: RayBundle, noise_buf: jax.Array,
                    scalars: SimScalars, cfg: SensorConfig, *,
                    base_ray_index=0, scene_has_water: bool = True,
-                   traverse_fn=None, traverse_data=None) -> PointCloud:
+                   traverse_fn=None, traverse_data=None,
+                   vertex_grad_aux=None) -> PointCloud:
     """Full differentiable forward pass for one chunk of pulses."""
     records, outliers, num_returns, final_origin = simulate_returns(
         scene, bvh, materials, rays, noise_buf, scalars, cfg,
         base_ray_index=base_ray_index, traverse_fn=traverse_fn,
-        traverse_data=traverse_data, scene_has_water=scene_has_water)
+        traverse_data=traverse_data, scene_has_water=scene_has_water,
+        vertex_grad_aux=vertex_grad_aux)
     # winner origins after the bounce loop (reference shading reads final
     # rayData, `computeColor-comp.glsl:88,96`).  Water-free non-bathymetric
     # scenes never move a ray origin, so the post-loop winner origin IS the

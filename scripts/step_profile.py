@@ -29,7 +29,7 @@ def build_step():
     config = os.environ.get("BENCH_CONFIG", "als")
     spec = bench.CONFIGS[config]
     (scene, bvh, cfg, rays, materials, scalars, noise, traverser, buckets,
-     total_rays) = bench.load_workload(config, spec)
+     total_rays, vg_aux) = bench.load_workload(config, spec)
     from lidar_brdf_tpu.runtime.simulate import simulate_chunk
 
     n_sub = len(buckets)
@@ -37,27 +37,36 @@ def build_step():
     rpp = rays.rays_per_pulse
     ray_cls = rays.__class__
 
-    def sub_loss(table, origin_s, verts, dir_s, gps_s, base_idx, scene,
-                 bvh, materials, noise, scalars, buckets_s):
-        mats = materials.__class__(**{**materials.__dict__,
-                                      "brdf_table": table})
-        scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
-        rays_s = ray_cls(origin=origin_s, direction=dir_s, gps_time=gps_s)
-        cloud = simulate_chunk(scene, bvh, mats, rays_s, noise, scalars,
-                               cfg, base_ray_index=base_idx,
-                               scene_has_water=False, traverse_fn=traverser,
-                               traverse_data=buckets_s)
-        return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+    travs = traverser if isinstance(traverser, list) else [traverser] * n_sub
+
+    def make_sub_loss(trav):
+        def sub_loss(table, origin_s, verts, dir_s, gps_s, base_idx, scene,
+                     bvh, materials, noise, scalars, buckets_s, vg_aux_s):
+            mats = materials.__class__(**{**materials.__dict__,
+                                          "brdf_table": table})
+            scene = scene.__class__(**{**scene.__dict__, "vertices": verts})
+            rays_s = ray_cls(origin=origin_s, direction=dir_s,
+                             gps_time=gps_s)
+            cloud = simulate_chunk(scene, bvh, mats, rays_s, noise, scalars,
+                                   cfg, base_ray_index=base_idx,
+                                   scene_has_water=False, traverse_fn=trav,
+                                   traverse_data=buckets_s,
+                                   vertex_grad_aux=vg_aux_s)
+            return jnp.sum(jnp.where(cloud.mask, cloud.intensity, 0.0))
+        return sub_loss
+
+    sub_fns = [make_sub_loss(t) for t in travs]
 
     def loss_fn(table, origin, verts, scene, bvh, materials, rays_, noise,
-                scalars, buckets_):
+                scalars, buckets_, vg_aux_):
         total = jnp.float32(0.0)
         for s in range(n_sub):
             sl = slice(s * p_sub, (s + 1) * p_sub)
-            total = total + sub_loss(
+            total = total + sub_fns[s](
                 table, origin[sl], verts, rays_.direction[sl],
                 rays_.gps_time[sl], s * p_sub * rpp, scene, bvh,
-                materials, noise, scalars, buckets_[s])
+                materials, noise, scalars, buckets_[s],
+                None if vg_aux_ is None else vg_aux_[s])
         return total
 
     grad_sel = os.environ.get("BENCH_GRADS", "full")
@@ -66,7 +75,7 @@ def build_step():
     grad_fn = jax.value_and_grad(loss_fn, argnums=argnums)
 
     args = jax.device_put((materials.brdf_table, scene, bvh, materials,
-                           rays, noise, scalars, buckets))
+                           rays, noise, scalars, buckets, vg_aux))
 
     def train_steps(n, table, *rest):
         def body(_, carry):
