@@ -177,6 +177,23 @@ def build_pulse_ladders(bvh: BVH, origins: np.ndarray, directions: np.ndarray,
     return tuple(buckets)
 
 
+class PermutedLayout:
+    """Hashable marker carrying a static bucket layout through the
+    Simulator's traverse_data plumbing (runtime/simulate.py::run_chunk)."""
+
+    __slots__ = ("layout",)
+
+    def __init__(self, layout):
+        self.layout = tuple(layout)
+
+    def __hash__(self):
+        return hash(self.layout)
+
+    def __eq__(self, other):
+        return (isinstance(other, PermutedLayout)
+                and self.layout == other.layout)
+
+
 def permute_pulse_ladders(buckets, num_pulses: int):
     """Bucket-contiguous pulse permutation for scatter-free traversal.
 

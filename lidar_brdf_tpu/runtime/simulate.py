@@ -141,6 +141,11 @@ def simulate_chunk(scene: TriangleScene, bvh: BVH, materials: MaterialTable,
                                  intensity, cfg.include_outliers)
 
 
+def _is_pulse_culler(culler) -> bool:
+    from ..kernels.pulse_pallas import PulseLadderTraverser
+    return isinstance(culler, PulseLadderTraverser)
+
+
 @dataclass
 class Simulator:
     """Bind scene + config; jit once per chunk shape; stream chunks.
@@ -250,6 +255,9 @@ class Simulator:
                 self._culler = PulseLadderTraverser(
                     self.scene, rays_per_pulse=rpp, group=grp,
                     interpret=not on_tpu)
+                b0, b1 = self.cfg.max_range_soft_boundary
+                self._culler.t_max = float(self.cfg.max_range
+                                           + abs(b0) + abs(b1) + 1.0)
                 if self.reorder is None:  # natural scan order is already
                     self.reorder = False  # coherent at group granularity
             elif pick_pallas:
@@ -279,6 +287,15 @@ class Simulator:
     def run_chunk(self, rays: RayBundle, base_ray_index=0,
                   traverse_data=None, materials=None) -> PointCloud:
         materials = self.materials if materials is None else materials
+        from ..kernels.pulse_pallas import PermutedLayout
+        if (isinstance(traverse_data, tuple) and traverse_data
+                and isinstance(traverse_data[0], PermutedLayout)):
+            # bucket-contiguous pulse-ladder chunk (see _prep_slice): the
+            # static layout is baked into a per-layout jitted executable
+            return self._culled_exec(traverse_data[0].layout)(
+                self.scene, self.bvh, materials, rays, self.noise_buf,
+                self.scalars, base_ray_index=base_ray_index,
+                traverse_data=traverse_data[1])
         if traverse_data is not None:
             return self._jitted_culled(
                 self.scene, self.bvh, materials, rays, self.noise_buf,
@@ -287,6 +304,29 @@ class Simulator:
         return self._jitted(self.scene, self.bvh, materials, rays,
                             self.noise_buf, self.scalars,
                             base_ray_index=base_ray_index)
+
+    def _culled_exec(self, layout):
+        """Jitted `simulate_chunk` bound to one static bucket layout.
+
+        The scatter-free pulse-ladder call path slices each bucket's
+        contiguous pulse range with STATIC offsets, so the layout must be
+        part of the executable, not the traced data.  Distinct layouts
+        already imply distinct bucket shapes in all but degenerate cases,
+        so this seldom compiles more than the shape-keyed jit would; a
+        shared-layout clone keeps the worker-thread cull race-free (the
+        bound traverser itself is never mutated)."""
+        cache = self.__dict__.setdefault("_culled_exec_cache", {})
+        fn = cache.get(layout)
+        if fn is None:
+            clone = object.__new__(type(self._culler))
+            clone.__dict__ = dict(self._culler.__dict__)
+            clone.layout = layout
+            fn = jax.jit(functools.partial(
+                simulate_chunk, cfg=self.cfg,
+                scene_has_water=self.scene_has_water,
+                traverse_fn=clone))
+            cache[layout] = fn
+        return fn
 
     def run(self, rays: RayBundle, checkpoint_dir: str | None = None,
             metrics=None, materials: MaterialTable | None = None
@@ -309,8 +349,22 @@ class Simulator:
         `while arePendingRays()` loop overlaps nothing
         (`LiDARSimulation.cpp:316-341`).
         """
+        run_key = None
         if self._culled_active and self.reorder is not False:
-            rays = bsp_order(rays, self.block_pulses)
+            # repeat scans (sweeps, re-runs) skip the BSP re-sort AND the
+            # 250 MB host gather it implies (~5 s/run on a 2-vCPU host):
+            # the permuted bundle is cached on ray content, and the same
+            # content hash keys every chunk's ladder-cache entry below (one
+            # hash per run instead of one per chunk per pass)
+            run_key = self._ray_key(rays)
+            cache = self.__dict__.setdefault("_bsp_cache", {})
+            hit = cache.get(run_key)
+            if hit is None:
+                hit = bsp_order(rays, self.block_pulses)
+                while len(cache) >= 2:          # FIFO, host-memory bound
+                    cache.pop(next(iter(cache)))
+                cache[run_key] = hit
+            rays = hit
         P = rays.num_pulses
         # quantize the static chunk shape to a power of two: different
         # scans/scenes then reuse the same compiled executable (and repeat
@@ -336,11 +390,44 @@ class Simulator:
         from concurrent.futures import ThreadPoolExecutor
 
         def prep(lo, hi):
+            key = (f"{run_key}:{lo}:{hi}:{chunk}"
+                   if run_key is not None else None)
+            if key is not None and self.cache_ladders:
+                hit = getattr(self, "_ladder_cache", {}).get(key)
+                if hit is not None:   # skip the 30 MB pad-slice copy too
+                    return hit
             return self._prep_slice(self._pad_slice(rays, lo, hi, chunk),
-                                    metrics)
+                                    metrics, key=key)
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        from collections import deque
+
+        def start_fetch(cloud):
+            # one async device->host copy per leaf, all IN FLIGHT AT ONCE:
+            # a serial per-leaf np.asarray pays one transfer round-trip per
+            # field (~20 fields x 8 chunks through the TPU tunnel dominated
+            # the cached forward scan at 26 MB/s first-fetch bandwidth)
+            jax.tree.map(lambda a: a.copy_to_host_async()
+                         if hasattr(a, "copy_to_host_async") else None,
+                         cloud)
+            return cloud
+
+        def finish(ci, cloud):
+            cloud = jax.tree.map(np.asarray, cloud)
+            if ckpt is not None:
+                ckpt.save_chunk(ci, cloud)
+            return ci, cloud
+
+        # Three-stage pipeline (the reference's batch loop is fully
+        # synchronous, LiDARSimulation.cpp:316-341): the cull worker
+        # prepares chunk i+1 while chunk i runs on the device and chunk
+        # i-1's host readback drains on the fetch worker — device->host
+        # copies block inside np.asarray (GIL released), so a dedicated
+        # thread keeps the main loop dispatching.
+        results = {}
+        with ThreadPoolExecutor(max_workers=1) as pool, \
+                ThreadPoolExecutor(max_workers=1) as fetch_pool:
             fut = pool.submit(prep, spans[0][1], spans[0][2])
+            fetches = []
             for k, (ci, lo, hi) in enumerate(spans):
                 sl, traverse_data = fut.result()
                 if k + 1 < len(spans):   # prefetch the next chunk's cull
@@ -354,12 +441,14 @@ class Simulator:
                 else:
                     cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
                                            traverse_data, materials)
-                # np.asarray blocks on the device result; the pool thread
-                # culls the NEXT chunk meanwhile
-                cloud = jax.tree.map(np.asarray, cloud)
-                if ckpt is not None:
-                    ckpt.save_chunk(ci, cloud)
-                clouds.append(cloud)
+                fetches.append(fetch_pool.submit(finish, ci,
+                                                 start_fetch(cloud)))
+                if len(fetches) > 4:     # bound in-flight device results
+                    fetches[len(fetches) - 5].result()
+            for f in fetches:
+                ci, cloud = f.result()
+                results[ci] = cloud
+        clouds.extend(results[ci] for ci, _, _ in spans)
         return concat_pointclouds(clouds)
 
     def coherent_order(self, rays: RayBundle) -> RayBundle:
@@ -528,7 +617,28 @@ class Simulator:
         h.update(str(self._t_max).encode())
         return h.hexdigest()
 
-    def _prep_slice(self, sl: RayBundle, metrics=None):
+    def _ray_key(self, rays: RayBundle) -> str:
+        """Content key of a whole (unpermuted) ray bundle.
+
+        Memoized on array identity: hashing a 1M-pulse bundle costs
+        0.5-1.5 s on a small host, and repeat scans pass the same arrays.
+        (Mutating a ray array IN PLACE between runs would go unnoticed —
+        rebuild or copy the bundle instead, as every builder here does.)"""
+        memo = self.__dict__.setdefault("_ray_key_memo", {})
+        ident = (id(rays.origin), id(rays.direction))
+        hit = memo.get(ident)
+        if hit is None:
+            key = self._chunk_key(np.asarray(rays.origin),
+                                  np.asarray(rays.direction))
+            while len(memo) >= 8:
+                memo.pop(next(iter(memo)))
+            # hold the arrays: a live reference pins id() against reuse
+            memo[ident] = (key, rays.origin, rays.direction)
+        else:
+            key = hit[0]
+        return key
+
+    def _prep_slice(self, sl: RayBundle, metrics=None, key=None):
         """Host-side beam cull for one padded chunk (worker-thread safe:
         numpy + the native OpenMP culler release the GIL; the jnp.asarray
         device puts in ``prepare`` are thread-safe).
@@ -544,11 +654,13 @@ class Simulator:
             return sl, None
         o_np = np.asarray(sl.origin)
         d_np = np.asarray(sl.direction)
-        key = None
-        if self.cache_ladders:
+        if not self.cache_ladders:
+            key = None
+        else:
             if not hasattr(self, "_ladder_cache"):
                 self._ladder_cache = {}
-            key = self._chunk_key(o_np, d_np)
+            if key is None:     # caller-supplied keys skip the per-chunk hash
+                key = self._chunk_key(o_np, d_np)
             hit = self._ladder_cache.get(key)
             if hit is not None:
                 return hit
@@ -556,11 +668,39 @@ class Simulator:
         if ctx is not None:
             ctx.__enter__()
         try:
-            if self._culler.beams_ok(o_np, d_np):
+            if not self._culler.beams_ok(o_np, d_np):
+                data = None   # wide beams (incoherent rays) — packet fallback
+            elif _is_pulse_culler(self._culler):
+                # bucket-contiguous pulse order: ladder results concatenate
+                # on device instead of paying the serialized TPU scatter
+                # (`permute_pulse_ladders`); the pulse reorder is absorbed
+                # the same way bsp_order is (PointClouds are order-free,
+                # noise draws permute with the pulse)
+                import jax.numpy as jnp
+
+                from ..kernels.pulse_pallas import (PermutedLayout,
+                                                    build_pulse_ladders,
+                                                    permute_pulse_ladders)
+                R = self._culler.kernel_rays
+                o2 = o_np.reshape(-1, 3)
+                raw = build_pulse_ladders(self.bvh, o2,
+                                          d_np.reshape(-1, 3), R,
+                                          t_max=self._t_max)
+                perm, layout = permute_pulse_ladders(raw,
+                                                     o2.shape[0] // R)
+                grp = self._culler.group
+                gperm = perm if grp == 1 else (
+                    (perm[:, None] * grp
+                     + np.arange(grp)[None, :]).reshape(-1))
+                sl = jax.tree.map(lambda a: np.asarray(a)[gperm], sl)
+                buckets = tuple(
+                    tuple(jnp.asarray(a)
+                          for a in self._culler._pack_bucket(p, c)[1:])
+                    for p, c in raw)
+                data = (PermutedLayout(layout), buckets)
+            else:
                 data = self._culler.prepare(self.bvh, o_np, d_np,
                                             t_max=self._t_max)
-            else:
-                data = None   # wide beams (incoherent rays) — packet fallback
             if key is not None and data is not None:
                 # device-put the ray slice too: cached repeat scans skip
                 # the per-chunk ray upload (~30 MB through the tunnel)

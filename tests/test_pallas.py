@@ -276,14 +276,12 @@ def test_simulator_use_pulse_interpret(rng):
                         use_pulse=True).run(rays)
     cloud_x = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
                         use_culled=False).run(rays)
-    # pulse ladders do not permute pulses, so the match is EXACT, not just
-    # multiset: same noise stream per pulse, same winners
-    np.testing.assert_array_equal(np.asarray(cloud_p.mask),
-                                  np.asarray(cloud_x.mask))
-    m = np.asarray(cloud_p.mask)
-    np.testing.assert_allclose(np.asarray(cloud_p.intensity)[m],
-                               np.asarray(cloud_x.intensity)[m],
-                               rtol=1e-4, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(cloud_p.position)[m],
-                               np.asarray(cloud_x.position)[m],
-                               rtol=1e-4, atol=1e-4)
+    # the pulse path reorders pulses bucket-contiguously for scatter-free
+    # traversal (`permute_pulse_ladders`), which permutes the noise-stream
+    # row each pulse draws — same contract as bsp_order: counts and
+    # intensity multisets match, order does not
+    assert int(np.asarray(cloud_p.mask).sum()) \
+        == int(np.asarray(cloud_x.mask).sum()) > 0
+    ip = np.sort(np.asarray(cloud_p.intensity)[np.asarray(cloud_p.mask)])
+    ix = np.sort(np.asarray(cloud_x.intensity)[np.asarray(cloud_x.mask)])
+    np.testing.assert_allclose(ip, ix, rtol=1e-4, atol=1e-7)
