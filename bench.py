@@ -332,6 +332,10 @@ def load_workload(config, spec):
     if cache_path and os.path.exists(cache_path):
         with open(cache_path, "rb") as fh:
             state = pickle.load(fh)
+        # A stale cache (different scene/permutation) must fail loudly, not
+        # produce silently wrong vertex gradients (advisor r04, medium).
+        for aux in (state.get("vertex_grad_aux") or ()):
+            aux.check_consistent(state["scene"].faces)
     elif os.environ.get("BENCH_INLINE_BUILD") or \
             jax.default_backend() == "cpu":
         state = _build_host_state(config, spec)
@@ -339,7 +343,11 @@ def load_workload(config, spec):
             with open(cache_path, "wb") as fh:
                 pickle.dump(state, fh, protocol=4)
     else:
-        fd, path = tempfile.mkstemp(suffix=".pkl")
+        # tempfile lands beside the cache target so os.replace stays a
+        # same-filesystem rename (EXDEV otherwise; advisor r04)
+        tmp_dir = os.path.dirname(os.path.abspath(cache_path)) \
+            if cache_path else None
+        fd, path = tempfile.mkstemp(suffix=".pkl", dir=tmp_dir)
         os.close(fd)
         try:
             subprocess.run(
@@ -402,13 +410,36 @@ def load_workload(config, spec):
 
 
 def _append_extra(config, line, **fields):
+    """Record a bench line in BENCH_EXTRA.json under ``config``.
+
+    Every entry is stamped with the ISO date; a pre-existing entry for the
+    same key is moved into the ``history`` sub-object (suffixed with its
+    date) instead of being silently overwritten — the r04 hygiene failure
+    was a 131k-pulse re-record clobbering the 1M-pulse record under the
+    same key."""
+    import datetime
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_EXTRA.json")
     extra = {}
     if os.path.exists(path):
         with open(path) as fh:
             extra = json.load(fh)
-    extra[config] = dict(line, **fields)
+    entry = dict(line, **fields)
+    entry.setdefault("date", datetime.date.today().isoformat())
+    prev = extra.get(config)
+    if prev is not None:
+        hist = extra.setdefault("history", {})
+        hkey = f"{config}@{prev.get('date', 'undated')}"
+        n = 2
+        while hkey in hist:
+            hkey = f"{config}@{prev.get('date', 'undated')}#{n}"
+            n += 1
+        hist[hkey] = prev
+    extra[config] = entry
+    # keep history last for readability
+    hist = extra.pop("history", None)
+    if hist is not None:
+        extra["history"] = hist
     with open(path, "w") as fh:
         json.dump(extra, fh, indent=1)
 
@@ -472,6 +503,9 @@ def forward_main(extra_key, spec, metric):
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
+        # warm pass = compile + first full scan (per-chunk executables
+        # compile lazily inside it, so this is the honest compile bound)
+        "compile_s": round(warm_s, 1),
     }
     print(json.dumps(line))
     _append_extra(extra_key, line, pulses=rays.num_pulses,
@@ -665,16 +699,26 @@ def main():
     # compile + warm-up with transient-tunnel retry (VERDICT r03 item 3):
     # each attempt REBUILDS the jit wrapper so a wedged executable handle is
     # not reused; the persistent compile cache makes rebuilds cheap.
+    compile_times = []
+
     def compile_and_warm():
         stepper = jax.jit(train_steps)  # n dynamic: one compile for any iters
         t0 = time.perf_counter()
         *_, warm = stepper(1, *args)
         _ = float(warm)
-        print(f"# compile+first step {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr, flush=True)
+        dt = time.perf_counter() - t0
+        compile_times.append(round(dt, 1))
+        print(f"# compile+first step {dt:.1f}s", file=sys.stderr, flush=True)
         return stepper
 
     stepper = retry_transient(compile_and_warm)
+    # Warm-cache verification (VERDICT r04 item 6): a SECOND fresh jit
+    # wrapper of the same program must hit the persistent compile cache —
+    # compile_s_warm is what a repeat driver run pays (should be seconds,
+    # not the cold 1-2 min; a cold number here means the cache dir is not
+    # persisted across runs).
+    stepper = retry_transient(compile_and_warm)
+    compile_s, compile_s_warm = compile_times[0], compile_times[-1]
 
     def timed_run():
         t0 = time.perf_counter()
@@ -690,6 +734,8 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / PER_CHIP_TARGET, 4),
+        "compile_s": compile_s,
+        "compile_s_warm": compile_s_warm,
     }
     line["grads"] = {"table": "brdf_table",
                      "table+origin": "brdf_table+sensor_origin",

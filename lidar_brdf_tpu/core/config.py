@@ -122,6 +122,13 @@ class SensorConfig:
     preset: str = "custom"
 
     # Global
+    # REFERENCE-DEAD parity field: the reference's per-channel origin
+    # offset is hard-coded to zero for EVERY channel in the release
+    # (`TerrestrialSphericalBuilder::getSensorPosition` pushes vec3(0)
+    # unconditionally, TerrestrialSphericalBuilder.cpp:157-166), so
+    # `channels` only scales the preset tables' nominal channel count and
+    # never moves a ray.  Kept so presets round-trip; intentionally unread
+    # by the pipeline, like the reference.
     channels: int = 16
     max_range: float = 200.0
     max_range_soft_boundary: tuple[float, float] = (-10.0, 3.0)
@@ -173,6 +180,12 @@ class SensorConfig:
     tls_resolution_vertical: int = 64
     tls_middle_angle_horizontal: float = 0.0
     tls_middle_angle_vertical: float = 0.0
+    # REFERENCE-DEAD parity field: the reference declares axis jittering
+    # but the uniform upload is commented out in the release
+    # (`TerrestrialSphericalBuilder.cpp:99`), so the shader's jitter axis
+    # rotation always sees 0.  Kept so configs round-trip; intentionally
+    # unread by the pipeline, like the reference.  Angle jittering
+    # (`tls_angle_jittering`) IS live, matching the reference.
     tls_axis_jittering: float = 1e-4
     tls_angle_jittering: float = 1e-4
     tls_atmospheric_clearness: float = 1.0

@@ -29,7 +29,7 @@ segment lies past ``bounds[V]``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -47,15 +47,45 @@ class VertexGradAux:
     perm   (NB*U,) int32 — sorts flattened union entries by vertex id
     bounds (V+1,)  int32 — segment [bounds[v], bounds[v+1]) per vertex in
                            the sorted order (pad entries past bounds[V])
+
+    Static metadata (`block_pulses`, `num_pulses`, `faces_fingerprint`)
+    rides outside the pytree leaves so `check_consistent` can detect an aux
+    built for a different scene/chunk (a stale BENCH_STATE_CACHE, a
+    different pulse permutation) BEFORE it silently produces wrong vertex
+    gradients (advisor r04, medium).
     """
 
     uvert: jax.Array
     perm: jax.Array
     bounds: jax.Array
+    block_pulses: int = field(metadata=dict(static=True), default=128)
+    num_pulses: int = field(metadata=dict(static=True), default=-1)
+    faces_fingerprint: int = field(metadata=dict(static=True), default=0)
 
-    @property
-    def block_pulses(self) -> int:
-        return 128
+    def check_consistent(self, faces, num_pulses: int | None = None) -> None:
+        """Raise if this aux was built for different faces / pulse count.
+
+        Call with CONCRETE (host) arrays — e.g. from `Simulator` or bench
+        setup code, outside jit.  `faces_fingerprint` hashes the face-index
+        array, so a reordered/modified mesh or a mismatched chunk length
+        fails loudly instead of dropping gradient contributions.
+        """
+        if num_pulses is not None and self.num_pulses not in (-1, num_pulses):
+            raise ValueError(
+                f"VertexGradAux built for {self.num_pulses} pulses, "
+                f"used with {num_pulses}")
+        if self.faces_fingerprint:
+            fp = faces_fingerprint(np.asarray(faces))
+            if fp != self.faces_fingerprint:
+                raise ValueError(
+                    "VertexGradAux faces fingerprint mismatch: aux was "
+                    "built for a different mesh (stale cache?)")
+
+
+def faces_fingerprint(faces: np.ndarray) -> int:
+    """Cheap order-sensitive hash of the (F, 3) face-index array."""
+    a = np.ascontiguousarray(np.asarray(faces, np.int64))
+    return int(hash(a.tobytes()) & 0x7FFFFFFFFFFFFFFF) or 1
 
 
 def build_vertex_grad_aux(faces: np.ndarray, buckets, num_pulses: int,
@@ -116,4 +146,7 @@ def build_vertex_grad_aux(faces: np.ndarray, buckets, num_pulses: int,
                              np.arange(num_verts + 1)).astype(np.int32)
     return VertexGradAux(uvert=jnp.asarray(uvert.astype(np.int32)),
                          perm=jnp.asarray(perm),
-                         bounds=jnp.asarray(bounds))
+                         bounds=jnp.asarray(bounds),
+                         block_pulses=block_pulses,
+                         num_pulses=num_pulses,
+                         faces_fingerprint=faces_fingerprint(faces))

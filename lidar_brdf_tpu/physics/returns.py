@@ -231,28 +231,33 @@ _winner_rows_pr.defvjp(_winner_rows_pr_fwd, _winner_rows_pr_bwd)
 
 
 @jax.custom_vjp
-def _winner_verts_union(verts, vidx, aux):
+def _winner_verts_union(verts, vidx, has_winner, aux):
     """``verts[vidx]`` with a scatter-free backward (geom/vertgrad.py).
 
     ``vidx`` (L, P, 3) winner-corner vertex ids; ``aux`` a `VertexGradAux`
-    whose per-128-pulse-block union lists are guaranteed (by the beam-cull
-    candidate construction) to contain every id a block's winners can take.
-    Ids NOT in their block's union must carry a zero cotangent (true for
-    the masked no-winner face-0 fallback rows) — their contribution is
-    dropped.  Backward: dense one-hot accumulate onto the static union
-    slots, then a host-precomputed sort permutation + cumsum + boundary
-    difference lands the dense (V, 3) gradient with zero TPU scatters
-    (the stock gather transpose serializes at ~64 ns/row: 380 ms/step at
-    the ALS BASELINE shape; this path measures ~10x cheaper)."""
+    whose per-block (``aux.block_pulses`` pulses) union lists are
+    guaranteed (by the beam-cull candidate construction) to contain every
+    id a block's WINNERS can take.  ``has_winner`` (L, P) marks real
+    winners; the backward zeroes the cotangent of no-winner face-0
+    fallback rows EXPLICITLY (advisor r04) — so a loss that reads
+    unmasked record fields still gets the documented "fallback rows
+    contribute no vertex gradient" semantics rather than silently-dropped
+    face-0 contributions.  Backward: dense one-hot accumulate onto the
+    static union slots, then a host-precomputed sort permutation + cumsum
+    + boundary difference lands the dense (V, 3) gradient with zero TPU
+    scatters (the stock gather transpose serializes at ~64 ns/row:
+    380 ms/step at the ALS BASELINE shape; this path measures ~10x
+    cheaper)."""
     return verts[vidx]
 
 
-def _winner_verts_union_fwd(verts, vidx, aux):
-    return verts[vidx], (vidx, aux, verts.shape[0])
+def _winner_verts_union_fwd(verts, vidx, has_winner, aux):
+    return verts[vidx], (vidx, has_winner, aux, verts.shape[0])
 
 
 def _winner_verts_union_bwd(res, g):
-    vidx, aux, V = res
+    vidx, has_winner, aux, V = res
+    g = jnp.where(has_winner[..., None, None], g, 0.0)
     L, P, _ = vidx.shape
     BP = aux.block_pulses
     NB = P // BP
@@ -272,7 +277,7 @@ def _winner_verts_union_bwd(res, g):
     csum = jnp.concatenate(
         [jnp.zeros((1, 3), rows.dtype), jnp.cumsum(rows, axis=0)])
     d_verts = csum[aux.bounds[1:]] - csum[aux.bounds[:-1]]   # (V, 3)
-    return d_verts.astype(g.dtype), None, None
+    return d_verts.astype(g.dtype), None, None, None
 
 
 _winner_verts_union.defvjp(_winner_verts_union_fwd, _winner_verts_union_bwd)
@@ -878,10 +883,28 @@ def _returns_noretraverse(
         # ONE gather of all three corners.  With beam-cull aux available,
         # the backward goes through the scatter-free static-union path
         # (`_winner_verts_union`); otherwise the stock gather transpose is
-        # ONE (V, 3) scatter-add instead of three.
-        if (vertex_grad_aux is not None
-                and P % vertex_grad_aux.block_pulses == 0):
+        # ONE (V, 3) scatter-add instead of three.  Static shape checks
+        # catch an aux built for a different scene (wrong V) or chunk
+        # length — a clear error, not silently wrong gradients (advisor
+        # r04, medium); deeper staleness is caught host-side by
+        # `VertexGradAux.check_consistent`.
+        if vertex_grad_aux is not None:
+            aux = vertex_grad_aux
+            if P % aux.block_pulses != 0:
+                raise ValueError(
+                    f"vertex_grad_aux block_pulses={aux.block_pulses} does "
+                    f"not divide chunk pulses P={P}")
+            if aux.num_pulses not in (-1, P):
+                raise ValueError(
+                    f"vertex_grad_aux built for {aux.num_pulses} pulses, "
+                    f"used with P={P}")
+            if aux.bounds.shape[0] != scene.vertices.shape[0] + 1:
+                raise ValueError(
+                    f"vertex_grad_aux bounds cover "
+                    f"{aux.bounds.shape[0] - 1} vertices but scene has "
+                    f"{scene.vertices.shape[0]} (aux from another scene?)")
             verts3 = _winner_verts_union(scene.vertices, vidx,
+                                         has_winner_L,
                                          vertex_grad_aux)   # (L, P, 3, 3)
         else:
             verts3 = scene.vertices[vidx]                       # (L, P, 3, 3)

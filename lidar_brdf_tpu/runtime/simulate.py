@@ -310,11 +310,17 @@ class Simulator:
 
         The scatter-free pulse-ladder call path slices each bucket's
         contiguous pulse range with STATIC offsets, so the layout must be
-        part of the executable, not the traced data.  Distinct layouts
-        already imply distinct bucket shapes in all but degenerate cases,
-        so this seldom compiles more than the shape-keyed jit would; a
-        shared-layout clone keeps the worker-thread cull race-free (the
-        bound traverser itself is never mutated)."""
+        part of the executable, not the traced data.  The honest cost
+        (advisor r04): the layout includes each bucket's REAL pulse count,
+        which varies chunk to chunk, so a fresh scan generally compiles
+        one executable PER CHUNK (mitigated by the persistent compile
+        cache across runs, and by the ladder cache skipping re-prep of
+        repeated chunks).  Scenes where this hurts should use the tile
+        traverser, whose bucket shapes are quantized.  The cache is
+        FIFO-bounded like _ladder_cache/_bsp_cache so long multi-scene
+        sessions do not accumulate executables without bound.  A shared-
+        layout clone keeps the worker-thread cull race-free (the bound
+        traverser itself is never mutated)."""
         cache = self.__dict__.setdefault("_culled_exec_cache", {})
         fn = cache.get(layout)
         if fn is None:
@@ -325,6 +331,8 @@ class Simulator:
                 simulate_chunk, cfg=self.cfg,
                 scene_has_water=self.scene_has_water,
                 traverse_fn=clone))
+            while len(cache) >= 64:
+                cache.pop(next(iter(cache)))
             cache[layout] = fn
         return fn
 

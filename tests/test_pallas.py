@@ -269,6 +269,10 @@ def test_simulator_use_pulse_interpret(rng):
         tls_middle_angle_vertical=-45.0,
         tls_resolution_horizontal=32, tls_resolution_vertical=16,
         rays_per_pulse=2, max_returns=2, chunk_pulses=512,
+        # shiny-surface error reads per-RAY-INDEX noise rows, which the
+        # bucket-contiguous pulse permutation reindexes — disable it so
+        # positions are permutation-invariant and comparable as a multiset
+        include_shiny_surface_error=False,
         shading_mode=ShadingMode.MEASURED)
     mats = MaterialLibrary.default().table_at(1064)
     rays = build_rays(cfg, scene)
@@ -277,11 +281,17 @@ def test_simulator_use_pulse_interpret(rng):
     cloud_x = Simulator(scene=scene, bvh=bvh, materials=mats, cfg=cfg,
                         use_culled=False).run(rays)
     # the pulse path reorders pulses bucket-contiguously for scatter-free
-    # traversal (`permute_pulse_ladders`), which permutes the noise-stream
-    # row each pulse draws — same contract as bsp_order: counts and
-    # intensity multisets match, order does not
+    # traversal (`permute_pulse_ladders`): point order differs, the
+    # (x, y, z, intensity) row MULTISET must not (advisor r04: a wrong
+    # permutation applied to origins but not directions must fail here)
     assert int(np.asarray(cloud_p.mask).sum()) \
         == int(np.asarray(cloud_x.mask).sum()) > 0
-    ip = np.sort(np.asarray(cloud_p.intensity)[np.asarray(cloud_p.mask)])
-    ix = np.sort(np.asarray(cloud_x.intensity)[np.asarray(cloud_x.mask)])
-    np.testing.assert_allclose(ip, ix, rtol=1e-4, atol=1e-7)
+
+    def rows(cloud):
+        m = np.asarray(cloud.mask)
+        r = np.concatenate([np.asarray(cloud.position)[m],
+                            np.asarray(cloud.intensity)[m][:, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(rows(cloud_p), rows(cloud_x),
+                               rtol=1e-4, atol=1e-5)
