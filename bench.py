@@ -656,11 +656,14 @@ def main():
         return total
 
     # BENCH_GRADS bisects the gradient set (diagnostics; default full):
-    #   table | table+origin | full
+    #   none (forward only) | table | table+origin | full
     grad_sel = os.environ.get("BENCH_GRADS", "full")
-    argnums = {"table": (0,), "table+origin": (0, 1),
-               "full": (0, 1, 2)}[grad_sel]
-    grad_fn = jax.value_and_grad(loss_fn, argnums=argnums)
+    if grad_sel == "none":
+        grad_fn = lambda *a: (loss_fn(*a), ())
+    else:
+        argnums = {"table": (0,), "table+origin": (0, 1),
+                   "full": (0, 1, 2)}[grad_sel]
+        grad_fn = jax.value_and_grad(loss_fn, argnums=argnums)
 
     # device-resident args: steady-state training steps do not re-upload
     # the scene/rays every iteration (host->device transfer is not the
@@ -679,7 +682,7 @@ def main():
         def body(_, carry):
             t, origin, verts, acc = carry
             loss, gs = grad_fn(t, origin, verts, *rest)
-            gt = gs[0]
+            gt = gs[0] if len(gs) > 0 else loss
             go = gs[1] if len(gs) > 1 else loss
             gv = gs[2] if len(gs) > 2 else loss
             # 1e-30 (not 0.0): keeps the gradients live through XLA's
@@ -737,7 +740,8 @@ def main():
         "compile_s": compile_s,
         "compile_s_warm": compile_s_warm,
     }
-    line["grads"] = {"table": "brdf_table",
+    line["grads"] = {"none": "none (forward only)",
+                     "table": "brdf_table",
                      "table+origin": "brdf_table+sensor_origin",
                      "full": "brdf_table+sensor_origin+scene_vertices"
                      }[grad_sel]

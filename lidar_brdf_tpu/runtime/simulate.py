@@ -20,7 +20,8 @@ import numpy as np
 
 from ..core.config import SensorConfig
 from ..core.types import (BVH, MaterialTable, PointCloud, RayBundle,
-                          SURFACE_WATER, TriangleScene, concat_pointclouds)
+                          SURFACE_WATER, TriangleScene, concat_pointclouds,
+                          pack_compact, unpack_compact)
 from ..physics.returns import SimScalars, simulate_returns
 from ..physics.shading import shade_records
 from ..physics.types import OutlierRecord, ReturnRecord
@@ -183,6 +184,14 @@ class Simulator:
     pulse_group: int | None = None    # None = auto; pulses per shared ladder
     cache_ladders: bool = True        # reuse culled ladders across runs
     cache_ladders_max: int = 64       # cached chunks (FIFO evict; HBM bound)
+    # Device-side point compaction before readback (`pack_compact`): the
+    # host fetches one (points, 20) f32 prefix instead of every dense slot
+    # of ~20 fields — the reference's compacted-collision-buffer readback
+    # (`reduceCollisions-comp.glsl:147` + `LiDARSimulation.cpp:603-614`).
+    # None = auto (on for TPU backends, off on CPU where transfers are
+    # free and tests compare dense slot layouts).  Output PointClouds are
+    # order-free either way; compacted clouds have mask all-True.
+    compact_readback: bool | None = None
 
     def __post_init__(self):
         from ..api import attach_face_neighbors
@@ -201,12 +210,12 @@ class Simulator:
         self.scalars = SimScalars.from_config(self.cfg, scene_min_y)
         key = jax.random.PRNGKey(self.cfg.seed)
         self.noise_buf = noise_mod.make_sim_noise(key)
-        self._jitted = jax.jit(
-            functools.partial(
-                simulate_chunk, cfg=self.cfg,
-                scene_has_water=self.scene_has_water,
-                traverse_fn=self.traverse_fn),
-            static_argnames=())
+        on_tpu_backend = jax.default_backend() in ("tpu", "axon")
+        self._compact = (on_tpu_backend if self.compact_readback is None
+                         else bool(self.compact_readback))
+        self._jitted = self._jit_chunk(self.traverse_fn)
+        self._jitted_compact = self._jit_chunk(self.traverse_fn,
+                                               compact=True)
         if self._culled_active:
             rpp = max(self.cfg.rays_per_pulse, 1)
             # Pallas kernels on real TPU (the axon plugin names the tunnel
@@ -274,38 +283,54 @@ class Simulator:
                 self.block_pulses = max(1, 640 // rpp)
                 self._culler = CulledTraverser(
                     self.scene, tile_rays=self.block_pulses * rpp, chunk=128)
-            self._jitted_culled = jax.jit(
-                functools.partial(
-                    simulate_chunk, cfg=self.cfg,
-                    scene_has_water=self.scene_has_water,
-                    traverse_fn=self._culler),
-                static_argnames=())
+            self._jitted_culled = self._jit_chunk(self._culler)
+            self._jitted_culled_compact = self._jit_chunk(self._culler,
+                                                          compact=True)
             b0, b1 = self.cfg.max_range_soft_boundary
             self._t_max = float(self.cfg.max_range
                                 + abs(b0) + abs(b1) + 1.0)
 
+    def _jit_chunk(self, traverse_fn, compact: bool = False):
+        """Jitted `simulate_chunk`, optionally with in-jit compaction."""
+        base = functools.partial(
+            simulate_chunk, cfg=self.cfg,
+            scene_has_water=self.scene_has_water,
+            traverse_fn=traverse_fn)
+        if not compact:
+            return jax.jit(base)
+
+        def packed(*a, **k):
+            return pack_compact(base(*a, **k))
+        return jax.jit(packed)
+
     def run_chunk(self, rays: RayBundle, base_ray_index=0,
-                  traverse_data=None, materials=None) -> PointCloud:
+                  traverse_data=None, materials=None,
+                  compact: bool = False) -> PointCloud:
+        """One chunk.  ``compact=False`` returns a dense PointCloud;
+        ``compact=True`` returns the `pack_compact` (matrix, count) pair."""
         materials = self.materials if materials is None else materials
         from ..kernels.pulse_pallas import PermutedLayout
         if (isinstance(traverse_data, tuple) and traverse_data
                 and isinstance(traverse_data[0], PermutedLayout)):
             # bucket-contiguous pulse-ladder chunk (see _prep_slice): the
             # static layout is baked into a per-layout jitted executable
-            return self._culled_exec(traverse_data[0].layout)(
+            return self._culled_exec(traverse_data[0].layout, compact)(
                 self.scene, self.bvh, materials, rays, self.noise_buf,
                 self.scalars, base_ray_index=base_ray_index,
                 traverse_data=traverse_data[1])
         if traverse_data is not None:
-            return self._jitted_culled(
+            fn = (self._jitted_culled_compact if compact
+                  else self._jitted_culled)
+            return fn(
                 self.scene, self.bvh, materials, rays, self.noise_buf,
                 self.scalars, base_ray_index=base_ray_index,
                 traverse_data=traverse_data)
-        return self._jitted(self.scene, self.bvh, materials, rays,
-                            self.noise_buf, self.scalars,
-                            base_ray_index=base_ray_index)
+        fn = self._jitted_compact if compact else self._jitted
+        return fn(self.scene, self.bvh, materials, rays,
+                  self.noise_buf, self.scalars,
+                  base_ray_index=base_ray_index)
 
-    def _culled_exec(self, layout):
+    def _culled_exec(self, layout, compact: bool = False):
         """Jitted `simulate_chunk` bound to one static bucket layout.
 
         The scatter-free pulse-ladder call path slices each bucket's
@@ -322,18 +347,16 @@ class Simulator:
         layout clone keeps the worker-thread cull race-free (the bound
         traverser itself is never mutated)."""
         cache = self.__dict__.setdefault("_culled_exec_cache", {})
-        fn = cache.get(layout)
+        key = (layout, compact)
+        fn = cache.get(key)
         if fn is None:
             clone = object.__new__(type(self._culler))
             clone.__dict__ = dict(self._culler.__dict__)
             clone.layout = layout
-            fn = jax.jit(functools.partial(
-                simulate_chunk, cfg=self.cfg,
-                scene_has_water=self.scene_has_water,
-                traverse_fn=clone))
+            fn = self._jit_chunk(clone, compact=compact)
             while len(cache) >= 64:
                 cache.pop(next(iter(cache)))
-            cache[layout] = fn
+            cache[key] = fn
         return fn
 
     def run(self, rays: RayBundle, checkpoint_dir: str | None = None,
@@ -407,20 +430,34 @@ class Simulator:
             return self._prep_slice(self._pad_slice(rays, lo, hi, chunk),
                                     metrics, key=key)
 
-        from collections import deque
+        compact = self._compact
 
-        def start_fetch(cloud):
+        def start_fetch(result):
+            if compact:
+                # only the scalar count starts now; the row prefix is
+                # sliced AFTER the count lands (finish below)
+                result[1].copy_to_host_async()
+                return result
             # one async device->host copy per leaf, all IN FLIGHT AT ONCE:
             # a serial per-leaf np.asarray pays one transfer round-trip per
             # field (~20 fields x 8 chunks through the TPU tunnel dominated
             # the cached forward scan at 26 MB/s first-fetch bandwidth)
             jax.tree.map(lambda a: a.copy_to_host_async()
                          if hasattr(a, "copy_to_host_async") else None,
-                         cloud)
-            return cloud
+                         result)
+            return result
 
-        def finish(ci, cloud):
-            cloud = jax.tree.map(np.asarray, cloud)
+        def finish(ci, result):
+            if compact:
+                mat, cnt = result
+                n = int(cnt)
+                # quantized prefix: each distinct padded length compiles a
+                # tiny slice program, so round up to 8192-row multiples
+                # (<= 0.7 MB overshoot, <= K/8192 programs per chunk shape)
+                n_pad = min(-(-max(n, 1) // 8192) * 8192, mat.shape[0])
+                cloud = unpack_compact(np.asarray(mat[:n_pad])[:n])
+            else:
+                cloud = jax.tree.map(np.asarray, result)
             if ckpt is not None:
                 ckpt.save_chunk(ci, cloud)
             return ci, cloud
@@ -442,15 +479,17 @@ class Simulator:
                     fut = pool.submit(prep, spans[k + 1][1], spans[k + 1][2])
                 if metrics is not None:
                     with metrics.stage("TOTAL") as m:
-                        cloud = self.run_chunk(
+                        result = self.run_chunk(
                             sl, lo * rays.rays_per_pulse, traverse_data,
-                            materials)
-                        m["sync"] = cloud.intensity
+                            materials, compact=compact)
+                        m["sync"] = result[1] if compact \
+                            else result.intensity
                 else:
-                    cloud = self.run_chunk(sl, lo * rays.rays_per_pulse,
-                                           traverse_data, materials)
+                    result = self.run_chunk(sl, lo * rays.rays_per_pulse,
+                                            traverse_data, materials,
+                                            compact=compact)
                 fetches.append(fetch_pool.submit(finish, ci,
-                                                 start_fetch(cloud)))
+                                                 start_fetch(result)))
                 if len(fetches) > 4:     # bound in-flight device results
                     fetches[len(fetches) - 5].result()
             for f in fetches:

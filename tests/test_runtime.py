@@ -191,3 +191,34 @@ def test_benchmark_steady_state_report(rng):
     # first pass sampled separately from steady passes (compile isolation)
     assert len(metrics.samples["RUN_FIRST"]) == 1
     assert len(metrics.samples["RUN_STEADY"]) == 2
+
+
+def test_compact_readback_equals_dense(rng):
+    """Device-side compaction (`pack_compact` in-jit + prefix fetch) yields
+    the same point multiset as the dense-slot path, with mask all-True."""
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=64)
+    dense = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg,
+                      compact_readback=False).run(rays)
+    compact = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg,
+                        compact_readback=True).run(rays)
+    assert bool(np.asarray(compact.mask).all())
+    n = int(np.asarray(dense.mask).sum())
+    assert compact.capacity == n > 0
+
+    def rows(cloud):
+        m = np.asarray(cloud.mask)
+        r = np.concatenate(
+            [np.asarray(cloud.position)[m],
+             np.asarray(cloud.intensity)[m][:, None],
+             np.asarray(cloud.distance)[m][:, None],
+             np.asarray(cloud.return_number)[m][:, None].astype(np.float32),
+             np.asarray(cloud.num_returns)[m][:, None].astype(np.float32),
+             np.asarray(cloud.comp_id)[m][:, None].astype(np.float32),
+             np.asarray(cloud.semantic)[m][:, None].astype(np.float32),
+             np.asarray(cloud.asprs)[m][:, None].astype(np.float32),
+             np.asarray(cloud.gps_time)[m][:, None],
+             np.asarray(cloud.normal)[m],
+             np.asarray(cloud.uv)[m]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(rows(compact), rows(dense), rtol=0, atol=0)
