@@ -62,47 +62,21 @@ def lookup_raw(tables, mat_id, x, y):
     return _gather(tables, mat_id, xi, yi)
 
 
-
-def _cell_key(mat, xi, yi):
-    return (mat * (PHI_BUCKETS * THETA_BUCKETS)
-            + xi * THETA_BUCKETS + yi)
-
-
-def _segment_rows_by_cell(g, key, num_cells):
-    """Sum the (E, W) cotangent rows per table cell — scatter-free.
-
-    TPU serializes duplicate-index scatter-add at ~64 ns/row, so the stock
-    ``zeros.at[idx].add(g)`` (8 elements per record) costs ~16 ms/step at
-    the 2-return 131k-pulse shape (measured v5e, round-5 profile).  The
-    sorted reformulation (argsort by cell key -> row cumsum -> boundary
-    difference at per-cell `searchsorted` bounds) is all dense sorts,
-    gathers and scans: ~5x cheaper at that shape, scaling with E log E
-    instead of E x rows.  Same trick as geom/vertgrad.py but with the
-    permutation computed ON DEVICE (keys are data-dependent here)."""
-    E, W = g.shape
-    order = jnp.argsort(key)
-    rows = g[order]
-    csum = jnp.concatenate(
-        [jnp.zeros((1, W), g.dtype), jnp.cumsum(rows, axis=0)])
-    bounds = jnp.searchsorted(key[order],
-                              jnp.arange(num_cells + 1, dtype=key.dtype))
-    return csum[bounds[1:]] - csum[bounds[:-1]]           # (num_cells, W)
+def _bilinear_elem_indices(mat, x0i, y0i):
+    x1i = jnp.mod(x0i + 1, PHI_BUCKETS)
+    # the reference clamps the upper neighbour to 89, not 90 (:41)
+    y1i = jnp.clip(y0i + 1, 0, THETA_BUCKETS - 2)
+    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
+    return jnp.stack([base + x0i * THETA_BUCKETS + y0i,
+                      base + x1i * THETA_BUCKETS + y0i,
+                      base + x0i * THETA_BUCKETS + y1i,
+                      base + x1i * THETA_BUCKETS + y1i], axis=-1)
 
 
-def _window_adjoint(window_builder, shape, d_win):
-    """Exact adjoint of a linear shifted-view window builder.
-
-    ``window_builder(tables) -> (M*360*91, W)`` is pure rolls / pads /
-    concats / stacks, so its jax.vjp is rolls / slices / adds — no scatter
-    anywhere.  Evaluated at zeros (the builder is linear, the cotangent is
-    primal-independent)."""
-    _, vjp = jax.vjp(window_builder, jnp.zeros(shape, d_win.dtype))
-    (d_tables,) = vjp(d_win)
-    return d_tables
-
-
-def _bilinear_window_table(tables):
-    """(M*360*91, 4) per-cell neighbourhood [v00, v10, v01, v11]."""
+@jax.custom_vjp
+def _bilinear_windows(tables, mat, x0i, y0i):
+    """(..., 4) neighbourhood [v00, v10, v01, v11] — one row gather from a
+    shifted-view window table (same pattern as `_hermite_windows`)."""
     def clamp_y1(t):
         # y -> min(y + 1, 89)
         return jnp.concatenate(
@@ -110,15 +84,11 @@ def _bilinear_window_table(tables):
              t[:, :, THETA_BUCKETS - 2:THETA_BUCKETS - 1],
              t[:, :, THETA_BUCKETS - 2:THETA_BUCKETS - 1]], axis=2)
     x1 = jnp.roll(tables, -1, axis=1)
-    return jnp.stack([tables, x1, clamp_y1(tables), clamp_y1(x1)],
-                     axis=-1).reshape(-1, 4)
-
-
-@jax.custom_vjp
-def _bilinear_windows(tables, mat, x0i, y0i):
-    """(..., 4) neighbourhood [v00, v10, v01, v11] — one row gather from a
-    shifted-view window table (same pattern as `_hermite_windows`)."""
-    return _bilinear_window_table(tables)[_cell_key(mat, x0i, y0i)]
+    win = jnp.stack([tables, x1, clamp_y1(tables), clamp_y1(x1)],
+                    axis=-1).reshape(-1, 4)
+    key = (mat * (PHI_BUCKETS * THETA_BUCKETS)
+           + x0i * THETA_BUCKETS + y0i)
+    return win[key]
 
 
 def _bilinear_windows_fwd(tables, mat, x0i, y0i):
@@ -128,11 +98,9 @@ def _bilinear_windows_fwd(tables, mat, x0i, y0i):
 
 def _bilinear_windows_bwd(res, g):
     shape, mat, x0i, y0i = res
-    key = _cell_key(mat, x0i, y0i).reshape(-1)
-    d_win = _segment_rows_by_cell(g.reshape(-1, 4), key,
-                                  shape[0] * shape[1] * shape[2])
-    return (_window_adjoint(_bilinear_window_table, shape, d_win),
-            None, None, None)
+    idx = _bilinear_elem_indices(mat, x0i, y0i)
+    flat = jnp.zeros(shape[0] * shape[1] * shape[2], g.dtype).at[idx].add(g)
+    return flat.reshape(shape), None, None, None
 
 
 _bilinear_windows.defvjp(_bilinear_windows_fwd, _bilinear_windows_bwd)
@@ -166,6 +134,19 @@ def hermite_matrix(t: float) -> jnp.ndarray:
     ], jnp.float32)
 
 
+def _hermite_elem_indices(mat, xi, yi):
+    """(..., 8) flat element indices of the two 4-point neighbourhoods."""
+    x_col = jnp.mod(xi - 1, PHI_BUCKETS)
+    y_row = jnp.clip(yi - 1, 0, THETA_BUCKETS - 1)
+    k = jnp.arange(4, dtype=jnp.int32)
+    xs_k = jnp.mod(xi[..., None] + k - 1, PHI_BUCKETS)
+    ys_k = jnp.clip(yi[..., None] + k - 1, 0, THETA_BUCKETS - 1)
+    base = mat * (PHI_BUCKETS * THETA_BUCKETS)
+    return jnp.concatenate(
+        [(base + y_row)[..., None] + xs_k * THETA_BUCKETS,
+         (base[..., None] + x_col[..., None] * THETA_BUCKETS) + ys_k],
+        axis=-1)
+
 
 @jax.custom_vjp
 def _hermite_windows(tables, mat, xi, yi):
@@ -173,14 +154,14 @@ def _hermite_windows(tables, mat, xi, yi):
 
     Forward: ONE row gather from a precomputed window table (shifted views
     of `tables`; building it is pure slicing) — TPU gathers are ~4x cheaper
-    per row than per element.  Backward (custom): scatter-free — cotangent
-    rows are segment-summed per base cell by a device-side sort
-    (`_segment_rows_by_cell`), then pushed through the exact linear adjoint
-    of the shifted views (`_window_adjoint`: rolls/slices/adds only).  The
-    previous element-mode scatter-add serialized on TPU at ~8 ns/element:
-    16 ms/step at the 2-return 131k-pulse bench shape.
+    per row than per element.  Backward (custom): element-mode scatter-add
+    of the 8 cotangents straight into the table (row-mode scatter is
+    slower, and differentiating through the shifted views would pay it).
     """
-    return _window_table(tables)[_cell_key(mat, xi, yi)]
+    win = _window_table(tables)                    # (M*360*91, 8)
+    key = (mat * (PHI_BUCKETS * THETA_BUCKETS)
+           + xi * THETA_BUCKETS + yi)
+    return win[key]
 
 
 def _window_table(tables):
@@ -213,11 +194,10 @@ def _hermite_windows_fwd(tables, mat, xi, yi):
 
 def _hermite_windows_bwd(res, g):
     shape, mat, xi, yi = res
-    key = _cell_key(mat, xi, yi).reshape(-1)
-    d_win = _segment_rows_by_cell(g.reshape(-1, 8), key,
-                                  shape[0] * shape[1] * shape[2])
-    return (_window_adjoint(_window_table, shape, d_win),
-            None, None, None)
+    idx = _hermite_elem_indices(mat, xi, yi)
+    flat_grad = jnp.zeros(shape[0] * shape[1] * shape[2],
+                          g.dtype).at[idx].add(g)
+    return flat_grad.reshape(shape), None, None, None
 
 
 _hermite_windows.defvjp(_hermite_windows_fwd, _hermite_windows_bwd)

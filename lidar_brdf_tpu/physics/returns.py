@@ -907,6 +907,10 @@ def _returns_noretraverse(
                                          has_winner_L,
                                          vertex_grad_aux)   # (L, P, 3, 3)
         else:
+            # NOTE (measured r5): a device-argsort segment-sum backward was
+            # tried for this no-aux gather and for the BRDF window gather;
+            # XLA:TPU sort is so slow it REGRESSED the 131k 2-return step
+            # 2.1x (20.9 -> 9.7 M rays/s).  The stock scatter stays.
             verts3 = scene.vertices[vidx]                       # (L, P, 3, 3)
         v0, v1, v2 = (verts3[..., 0, :], verts3[..., 1, :],
                       verts3[..., 2, :])
