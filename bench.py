@@ -746,6 +746,12 @@ def main():
                      "full": "brdf_table+sensor_origin+scene_vertices"
                      }[grad_sel]
     print(json.dumps(line))
+    # Shape-overridden diagnostic runs (BENCH_PULSES/BENCH_TRIS/...) must
+    # not overwrite the CONFIGS-shape records — the r04 hygiene failure.
+    overridden = any(os.environ.get(k) for k in
+                     ("BENCH_PULSES", "BENCH_TRIS", "BENCH_RAYS_PULSE"))
+    if overridden:
+        return
     if config != "tls" or grad_sel != "full":
         key = config if grad_sel == "full" else f"{config}_grads_{grad_sel}"
         _append_extra(key, line, pulses=rays.num_pulses,

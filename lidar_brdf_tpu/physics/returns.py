@@ -855,21 +855,32 @@ def _returns_noretraverse(
         count = count + valid_col.astype(jnp.int32)
     num_returns = count
 
-    # ---- differentiable record pass, vectorized over (L, P) ---------------
+    # ---- differentiable record pass, vectorized over K = L*P --------------
+    # All heavy math runs on FLAT (K,) shapes: (L, P) tensors get laid out
+    # as T(L,128) tiles (L=2 -> 2-sublane strips), and the whole stacked
+    # record pass + its backward paid a measured ~3x efficiency penalty on
+    # those layouts (r5 bisection: every gradient chain's cost roughly
+    # TRIPLED from L=1 to L=2 while the record row count only doubled).
+    # The public ReturnRecord keeps (L, P) fields — reshaped at the end.
     st = lambda k: jnp.stack([lv[k] for lv in levels])          # (L, P)
+    K = L * P
     flat_w_L = st("flat_w")
     face_w_L = st("face_w")
     has_winner_L = st("has_winner")
     valid_col_L = st("valid_col")
+    flat_w_K = flat_w_L.reshape(K)
+    face_w_K = face_w_L.reshape(K)
+    has_winner = has_winner_L.reshape(K)
+    valid_col = valid_col_L.reshape(K)
 
     w_L = st("w")                                               # (L, P)
-    pack = _winner_rows_pr(R, cat6, w_L)                        # (L, P, 6)
-    origin_w = pack[..., 0:3]          # == start point == prev-level origin
-    dir_w = pack[..., 3:6]             # == previousDirection (never mutated)
+    pack = _winner_rows_pr(R, cat6, w_L).reshape(K, 6)
+    origin_w = pack[:, 0:3]            # == start point == prev-level origin
+    dir_w = pack[:, 3:6]               # == previousDirection (never mutated)
 
-    safe_face = jnp.maximum(face_w_L, 0)
+    safe_face = jnp.maximum(face_w_K, 0)
     if face_pack is not None:
-        frow = face_pack[safe_face.reshape(L * P)].reshape(L, P, -1)
+        frow = face_pack[safe_face]                             # (K, 23)
         v0, v1, v2 = frow[..., 0:3], frow[..., 3:6], frow[..., 6:9]
         uv0, uv1, uv2 = frow[..., 9:11], frow[..., 11:13], frow[..., 13:15]
         ksns, mrow = frow[..., 15:17], frow[..., 17:19]
@@ -878,7 +889,7 @@ def _returns_noretraverse(
         mat_w = frow[..., 21].astype(jnp.int32)
         surface_w = frow[..., 22].astype(jnp.int32)
     else:
-        rows_w = faces_aug[safe_face.reshape(L * P)].reshape(L, P, 4)
+        rows_w = faces_aug[safe_face]                           # (K, 4)
         vidx = rows_w[..., 0:3]
         # ONE gather of all three corners.  With beam-cull aux available,
         # the backward goes through the scatter-free static-union path
@@ -903,18 +914,18 @@ def _returns_noretraverse(
                     f"vertex_grad_aux bounds cover "
                     f"{aux.bounds.shape[0] - 1} vertices but scene has "
                     f"{scene.vertices.shape[0]} (aux from another scene?)")
-            verts3 = _winner_verts_union(scene.vertices, vidx,
-                                         has_winner_L,
-                                         vertex_grad_aux)   # (L, P, 3, 3)
+            verts3 = _winner_verts_union(
+                scene.vertices, vidx.reshape(L, P, 3), has_winner_L,
+                vertex_grad_aux).reshape(K, 3, 3)
         else:
             # NOTE (measured r5): a device-argsort segment-sum backward was
             # tried for this no-aux gather and for the BRDF window gather;
             # XLA:TPU sort is so slow it REGRESSED the 131k 2-return step
             # 2.1x (20.9 -> 9.7 M rays/s).  The stock scatter stays.
-            verts3 = scene.vertices[vidx]                       # (L, P, 3, 3)
+            verts3 = scene.vertices[vidx]                       # (K, 3, 3)
         v0, v1, v2 = (verts3[..., 0, :], verts3[..., 1, :],
                       verts3[..., 2, :])
-        uvs = scene.vertex_uv[vidx]                             # (L, P, 3, 2)
+        uvs = scene.vertex_uv[vidx]                             # (K, 3, 2)
         uv0, uv1, uv2 = uvs[..., 0, :], uvs[..., 1, :], uvs[..., 2, :]
         vert_ksns = jnp.stack([scene.vertex_ks, scene.vertex_ns], axis=1)
         ksns = vert_ksns[vidx[..., 0]]
@@ -926,9 +937,9 @@ def _returns_noretraverse(
         comp_rand_sh = None
 
     _, point_w, (u_w, v_w), _ = refine_hit_verts(
-        origin_w, dir_w, v0, v1, v2, face_w_L)
+        origin_w, dir_w, v0, v1, v2, face_w_K)
     normal_w = face_normal_from_verts(v0, v1, v2)
-    point_w = jnp.where(has_winner_L[..., None], point_w, origin_w)
+    point_w = jnp.where(has_winner[..., None], point_w, origin_w)
     is_terrain = (surface_w & SURFACE_TERRAIN) != 0
 
     corrected = _norm(point_w - origin_w)
@@ -936,10 +947,10 @@ def _returns_noretraverse(
     angle = (jnp.clip(safe_arccos(
         jnp.sum(nd * sensor_normal * nd, axis=-1)),
         -PI / 2, PI / 2) / (PI / 2) * 90.0)
-    gps = rays.gps_time[None, :] + corrected * 2.0 / LIGHT_SPEED
+    gps = jnp.tile(rays.gps_time, L) + corrected * 2.0 / LIGHT_SPEED
 
-    idx_w = base_ray_index + flat_w_L.astype(jnp.uint32)
-    nz = noise_mod.stream_rows(noise_buf, idx_w)                # (L, P, 16)
+    idx_w = base_ray_index + flat_w_K.astype(jnp.uint32)
+    nz = noise_mod.stream_rows(noise_buf, idx_w)                # (K, 16)
     shininess = jnp.clip(jnp.power(jnp.maximum(ksns[..., 0], 0.0),
                                    ksns[..., 1])
                          * mrow[..., 1], 0.0, 1.0)
@@ -971,7 +982,7 @@ def _returns_noretraverse(
             nz[..., noise_mod.AXIS_Z_STREAM]], -1)
         shift = (jnp.array([0.0, 1.0, 0.0]) * v_err[..., None]
                  + h_axis * h_err[..., None])
-        point_rec = jnp.where((is_terrain & valid_col_L)[..., None],
+        point_rec = jnp.where((is_terrain & valid_col)[..., None],
                               point_rec + shift, point_rec)
 
     uv_rec = (uv0 * (1.0 - u_w - v_w)[..., None]
@@ -980,30 +991,33 @@ def _returns_noretraverse(
 
     # previous recorded point per pulse (record field only; bathymetric
     # shading never reads it on this path)
+    point_rec_L = point_rec.reshape(L, P, 3)
     prev_points = []
     prev = jnp.zeros((P, 3), jnp.float32)
     for l in range(L):
         prev_points.append(prev)
-        prev = jnp.where(valid_col_L[l][:, None], point_rec[l], prev)
+        prev = jnp.where(valid_col_L[l][:, None], point_rec_L[l], prev)
     prev_point_L = jnp.stack(prev_points)
 
-    z = lambda v: jnp.where(valid_col_L, v, 0.0)
+    unfl = lambda a: a.reshape((L, P) + a.shape[1:])
+    z = lambda v: unfl(jnp.where(valid_col, v, 0.0))
+    zv = lambda v: unfl(jnp.where(valid_col[..., None], v, 0.0))
     records = ReturnRecord(
         mask=valid_col_L,
-        point=jnp.where(valid_col_L[..., None], point_rec, 0.0),
-        normal=jnp.where(valid_col_L[..., None], normal_w, 0.0),
-        uv=jnp.where(valid_col_L[..., None], uv_rec, 0.0),
+        point=zv(point_rec),
+        normal=zv(normal_w),
+        uv=zv(uv_rec),
         distance=z(corrected),
         angle=z(angle),
         gps_time=z(gps),
-        comp=jnp.where(valid_col_L, comp_w, -1),
-        material=jnp.where(valid_col_L, mat_w, 0),
-        face=jnp.where(valid_col_L, face_w_L, -1),
+        comp=unfl(jnp.where(valid_col, comp_w, -1)),
+        material=unfl(jnp.where(valid_col, mat_w, 0)),
+        face=unfl(jnp.where(valid_col, face_w_K, -1)),
         num_intersected=st("num_intersected"),
         return_number=st("count_entry"),
         winner_ray=st("w"),
-        start=origin_w,
-        direction=dir_w,
+        start=unfl(origin_w),
+        direction=unfl(dir_w),
         prev_was_water=jnp.zeros((L, P), bool),
         prev_point=prev_point_L,
     )
@@ -1011,22 +1025,22 @@ def _returns_noretraverse(
     # outliers (`addOutlier-comp.glsl:29-64`)
     pulse_gidx = (base_ray_index // jnp.uint32(max(R, 1))
                   + jnp.arange(P, dtype=jnp.uint32))
-    lvl_idx = jnp.arange(L, dtype=jnp.uint32)[:, None]
+    lvl_idx = jnp.repeat(jnp.arange(L, dtype=jnp.uint32), P)
     onz = noise_mod.stream_rows(
-        noise_buf, pulse_gidx[None, :]
-        + lvl_idx * jnp.uint32(OUTLIER_LEVEL_STRIDE))           # (L, P, 16)
+        noise_buf, jnp.tile(pulse_gidx, L)
+        + lvl_idx * jnp.uint32(OUTLIER_LEVEL_STRIDE))           # (K, 16)
     o_prob = onz[..., noise_mod.OUTLIER_STREAM]
-    o_mask = (valid_col_L
+    o_mask = (valid_col
               & ((o_prob * 2.0 - 1.0) > scalars.outlier_threshold)
-              if cfg.include_outliers else jnp.zeros_like(valid_col_L))
+              if cfg.include_outliers else jnp.zeros_like(valid_col))
     o_dn = onz[..., noise_mod.OUTLIER_DISTANCE_STREAM] * 1.5
     o_r0, o_r1 = scalars.outlier_range[0], scalars.outlier_range[1]
     o_dist = (o_dn * (o_r1 - o_r0) + o_r0) * corrected
     # no water and no bathymetric -> previousDirection stays = direction
     outliers = OutlierRecord(
-        mask=o_mask,
-        point=origin_w + _unit(dir_w) * o_dist[..., None],
-        distance=o_dist,
+        mask=unfl(o_mask),
+        point=unfl(origin_w + _unit(dir_w) * o_dist[..., None]),
+        distance=unfl(o_dist),
     )
     final_origin = rays.origin                  # origins never move
     return records, outliers, num_returns, final_origin

@@ -9,6 +9,7 @@ water surface.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import SensorConfig, ShadingMode
@@ -27,7 +28,15 @@ def shade_records(scene: TriangleScene, materials: MaterialTable,
 
     ``final_winner_origin`` is the winner ray's origin after the bounce loop
     (reference reads post-loop `rayData`, `computeColor-comp.glsl:88,96`).
+
+    All math runs on FLAT (levels*pulses,) shapes — (L, P) tensors get
+    2-sublane T(L,128) layouts on TPU whose fusions measured ~3x less
+    efficient (r5 bisection); the output reshapes back to the record shape.
     """
+    rec_shape = records.mask.shape
+    fl = lambda a: a.reshape((-1,) + a.shape[len(rec_shape):])
+    records = jax.tree.map(fl, records)
+    final_winner_origin = fl(final_winner_origin)
     mat = scene.comp_material[jnp.maximum(records.comp, 0)]
     L = _unit(final_winner_origin - records.point)
     N = _unit(records.normal)
@@ -65,4 +74,4 @@ def shade_records(scene: TriangleScene, materials: MaterialTable,
         intensity = jnp.where(records.prev_was_water, bathy_i, normal_i)
     else:
         intensity = normal_i
-    return jnp.where(records.mask, intensity, 0.0)
+    return jnp.where(records.mask, intensity, 0.0).reshape(rec_shape)
