@@ -520,13 +520,19 @@ def forward_main(extra_key, spec, metric):
                   points=n_points,
                   note=("headline = CACHED repeat scan (device-resident "
                         "ladders+rays; reference re-traverses every run). "
-                        "COLD scan pays the host cull per chunk; "
+                        "Readback is DEVICE-COMPACTED (r5): pack_compact "
+                        "runs in-jit and the host prefetches exactly the "
+                        "per-chunk point count (count-hint cache) as ONE "
+                        "contiguous (points, 20) f32 buffer — the "
+                        "reference's compacted collision readback, "
+                        "LiDARSimulation.cpp:603-614.  COLD scan is "
+                        "host-cull-bound on this 2-vCPU rig; "
                         "CULL_SCALING.json measures the native culler at "
-                        "0.27 ms/tile single-thread, 1.95x speedup on the "
-                        "2 vCPUs of this rig (embarrassingly parallel "
-                        "over tiles -> ~6 ms/chunk on a 96-core TPU host "
-                        "VM). device_total_s cold-vs-cached attributes "
-                        "the tunnel transfer share of device time."),
+                        "0.27 ms/tile single-thread, 1.95x speedup on 2 "
+                        "vCPUs (embarrassingly parallel over tiles -> "
+                        "~6 ms/chunk on a 96-core TPU host VM). "
+                        "device_total_s cold-vs-cached attributes the "
+                        "tunnel transfer share of device time."),
                   device=jax.devices()[0].device_kind)
 
 
