@@ -102,10 +102,12 @@ def _psum_bytes(config: str) -> dict:
 
 def _measured_step(config: str) -> dict | None:
     """Single-chip step time from the most recent bench artifacts."""
-    for name in ("BENCH_r03.json", "BENCH_r02.json"):
-        path = os.path.join(REPO, name)
-        if config == "tls" and os.path.exists(path):
-            with open(path) as fh:
+    if config == "tls":
+        # newest driver-captured round record wins
+        for name in sorted((n for n in os.listdir(REPO)
+                            if n.startswith("BENCH_r")
+                            and n.endswith(".json")), reverse=True):
+            with open(os.path.join(REPO, name)) as fh:
                 data = json.load(fh)
             parsed = data.get("parsed") or {}
             if parsed.get("value"):
@@ -277,7 +279,14 @@ def main() -> None:
     }
     print(json.dumps(summary))
     out = {**summary, **out}
-    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+    # keep the pod projection block (scripts/pod_projection.py) if present
+    path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        if "projected_v5e8" in prev:
+            out["projected_v5e8"] = prev["projected_v5e8"]
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
 
 
