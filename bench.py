@@ -457,7 +457,16 @@ def forward_main(extra_key, spec, metric):
      total_rays, _) = load_workload("forward", spec)
     chunk = int(os.environ.get("BENCH_CHUNK", 131072))
     cfg = cfg.with_(chunk_pulses=min(chunk, rays.num_pulses))
-    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg)
+    # BENCH_FORWARD_PACKET=1: the DEVICE-ONLY cold-scan fallback — packet
+    # traversal needs zero host cull per chunk (the reference's fully
+    # device-resident collision stage, findBVHCollision-comp.glsl:94-137),
+    # so cold == cached modulo caches.  Slower per ray than the culled
+    # kernels (DESIGN.md traverser matrix) but immune to a weak host.
+    packet = bool(os.environ.get("BENCH_FORWARD_PACKET"))
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg,
+                    use_culled=False if packet else None)
+    if packet:
+        extra_key = "forward_device_only_packet"
     print(f"# [forward] {rays.num_pulses} pulses x {rays.rays_per_pulse} "
           f"rays in {-(-rays.num_pulses // cfg.chunk_pulses)} chunks, "
           f"traverser={type(getattr(sim, '_culler', None)).__name__}",
