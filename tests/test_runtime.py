@@ -222,3 +222,18 @@ def test_compact_readback_equals_dense(rng):
         return r[np.lexsort(r.T[::-1])]
 
     np.testing.assert_allclose(rows(compact), rows(dense), rtol=0, atol=0)
+
+
+def test_compact_readback_hint_prefetch_repeat_run(rng):
+    """Second run takes the count-hint prefetch branch (pre is not None)
+    and must reproduce the first run's cloud exactly."""
+    scene, bvh, cfg, rays, materials = _mk(rng, chunk_pulses=64)
+    sim = Simulator(scene=scene, bvh=bvh, materials=materials, cfg=cfg,
+                    compact_readback=True)
+    first = sim.run(rays)
+    assert sim._count_hints           # hints populated by the first pass
+    second = sim.run(rays)
+    assert second.capacity == first.capacity
+    for f in ("position", "intensity", "distance", "gps_time"):
+        np.testing.assert_array_equal(np.asarray(getattr(first, f)),
+                                      np.asarray(getattr(second, f)))
