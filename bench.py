@@ -548,7 +548,10 @@ def forward_main(extra_key, spec, metric):
 def main():
     import faulthandler
     import threading
-    faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+    # diagnosis-only stack dumps if the process wedges; 10 min threshold so
+    # routine 1-3 min tunnel compiles (observed up to 18 min on bad days,
+    # but typically < 3) do not spam traces into the round record
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
 
     config = os.environ.get("BENCH_CONFIG", "tls")
     spec = CONFIGS[config]
